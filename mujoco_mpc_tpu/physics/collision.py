@@ -1,0 +1,238 @@
+"""Narrowphase collision: static candidate pairs → dense contact set.
+
+Broadphase runs on the host at model-load time (io.py: contype/conaffinity +
+body filters), so on device every candidate pair is evaluated every step and
+inactive contacts simply carry positive distance — static shapes, no
+data-dependent control flow, ideal for lax.scan/vmap on TPU.
+
+Each pair kind expands to a fixed number of contact points (e.g. a capsule
+on a plane always yields 2 candidate points, a box on a plane all 8
+corners). Signed distances are exact for the supported primitive pairs.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from mujoco_mpc_tpu.physics import math
+from mujoco_mpc_tpu.physics.types import Contact, Data, GeomType, Model
+
+
+def _frame_from_normal(n: jax.Array) -> jax.Array:
+  """(3,3) rows [normal, tangent1, tangent2] from a unit normal."""
+  # pick the axis least aligned with n
+  ref = jnp.where(jnp.abs(n[0]) < 0.5,
+                  jnp.asarray([1.0, 0.0, 0.0], dtype=n.dtype),
+                  jnp.asarray([0.0, 1.0, 0.0], dtype=n.dtype))
+  t1 = math.normalize(jnp.cross(n, ref))
+  t2 = jnp.cross(n, t1)
+  return jnp.stack([n, t1, t2])
+
+
+# each primitive-pair function returns a list of
+# (dist, pos, normal) tuples; normal points from geom1 into geom2.
+
+
+def _plane_sphere(pp, pm, sp, sm, psize, ssize):
+  n = pm[:, 2]
+  r = ssize[0]
+  dist = jnp.dot(n, sp - pp) - r
+  pos = sp - n * (r + 0.5 * dist)
+  return [(dist, pos, n)]
+
+
+def _plane_capsule(pp, pm, cp, cm, psize, csize):
+  n = pm[:, 2]
+  axis = cm[:, 2]
+  r, half = csize[0], csize[1]
+  out = []
+  for sgn in (-1.0, 1.0):
+    end = cp + sgn * half * axis
+    dist = jnp.dot(n, end - pp) - r
+    pos = end - n * (r + 0.5 * dist)
+    out.append((dist, pos, n))
+  return out
+
+
+def _plane_box(pp, pm, bp, bm, psize, bsize):
+  n = pm[:, 2]
+  out = []
+  for sx in (-1.0, 1.0):
+    for sy in (-1.0, 1.0):
+      for sz in (-1.0, 1.0):
+        corner = bp + bm @ (bsize * jnp.asarray([sx, sy, sz],
+                                                dtype=bsize.dtype))
+        dist = jnp.dot(n, corner - pp)
+        pos = corner - n * 0.5 * dist
+        out.append((dist, pos, n))
+  return out
+
+
+def _plane_ellipsoid(pp, pm, ep, em, psize, esize):
+  n = pm[:, 2]
+  # support point of ellipsoid in direction -n
+  nl = em.T @ n  # normal in ellipsoid frame
+  denom = jnp.linalg.norm(esize * nl) + 1e-12
+  sp_local = -(esize * esize * nl) / denom
+  support = ep + em @ sp_local
+  dist = jnp.dot(n, support - pp)
+  pos = support - n * 0.5 * dist
+  return [(dist, pos, n)]
+
+
+def _sphere_sphere(p1, m1, p2, m2, s1, s2):
+  delta = p2 - p1
+  dn = jnp.linalg.norm(delta)
+  n = delta / jnp.maximum(dn, 1e-12)
+  dist = dn - (s1[0] + s2[0])
+  pos = p1 + n * (s1[0] + 0.5 * dist)
+  return [(dist, pos, n)]
+
+
+def _closest_on_segment(p, a, axis, half):
+  t = jnp.clip(jnp.dot(p - a, axis), -half, half)
+  return a + t * axis
+
+
+def _sphere_capsule(p1, m1, p2, m2, s1, s2):
+  seg = _closest_on_segment(p1, p2, m2[:, 2], s2[1])
+  delta = seg - p1
+  dn = jnp.linalg.norm(delta)
+  n = delta / jnp.maximum(dn, 1e-12)
+  dist = dn - (s1[0] + s2[0])
+  pos = p1 + n * (s1[0] + 0.5 * dist)
+  return [(dist, pos, n)]
+
+
+def _capsule_capsule(p1, m1, p2, m2, s1, s2):
+  # closest points between two segments (clamped, smooth approximation)
+  a1, u1, h1 = p1, m1[:, 2], s1[1]
+  a2, u2, h2 = p2, m2[:, 2], s2[1]
+  r = a2 - a1
+  uu = jnp.dot(u1, u2)
+  ru1 = jnp.dot(r, u1)
+  ru2 = jnp.dot(r, u2)
+  det = 1.0 - uu * uu
+  safe_det = jnp.maximum(det, 1e-9)
+  t1 = jnp.clip((ru1 - uu * ru2) / safe_det, -h1, h1)
+  t2 = jnp.clip(jnp.dot(a1 + t1 * u1 - a2, u2), -h2, h2)
+  t1 = jnp.clip(jnp.dot(a2 + t2 * u2 - a1, u1), -h1, h1)
+  c1 = a1 + t1 * u1
+  c2 = a2 + t2 * u2
+  delta = c2 - c1
+  dn = jnp.linalg.norm(delta)
+  n = delta / jnp.maximum(dn, 1e-12)
+  dist = dn - (s1[0] + s2[0])
+  pos = c1 + n * (s1[0] + 0.5 * dist)
+  return [(dist, pos, n)]
+
+
+def _sphere_box_point(center, radius, bp, bm, bsize):
+  local = bm.T @ (center - bp)
+  clamped = jnp.clip(local, -bsize, bsize)
+  inside = jnp.all(jnp.abs(local) < bsize)
+  # outside: closest point on box surface; inside: push to nearest face
+  face_dist = bsize - jnp.abs(local)
+  k = jnp.argmin(face_dist)
+  push = jnp.zeros(3, dtype=local.dtype).at[k].set(
+      jnp.sign(local[k]) * bsize[k])
+  surf_inside = jnp.where(
+      jax.lax.broadcasted_iota(jnp.int32, (3,), 0) == k, push, local)
+  surf = jnp.where(inside, surf_inside, clamped)
+  world = bp + bm @ surf
+  delta = center - world
+  dn = jnp.linalg.norm(delta)
+  n_out = -delta / jnp.maximum(dn, 1e-12)  # from sphere into box
+  n_in = bm @ jnp.zeros(3, dtype=local.dtype).at[k].set(-jnp.sign(local[k]))
+  n = jnp.where(inside, n_in, n_out)
+  dist = jnp.where(inside, -dn - radius, dn - radius)
+  pos = world + 0.5 * dist * (-n)
+  return dist, pos, n
+
+
+def _sphere_box(p1, m1, p2, m2, s1, s2):
+  dist, pos, n = _sphere_box_point(p1, s1[0], p2, m2, s2)
+  return [(dist, pos, n)]
+
+
+def _capsule_box(p1, m1, p2, m2, s1, s2):
+  out = []
+  for sgn in (-1.0, 1.0):
+    end = p1 + sgn * s1[1] * m1[:, 2]
+    dist, pos, n = _sphere_box_point(end, s1[0], p2, m2, s2)
+    out.append((dist, pos, n))
+  return out
+
+
+_DISPATCH = {
+    (GeomType.PLANE, GeomType.SPHERE): _plane_sphere,
+    (GeomType.PLANE, GeomType.CAPSULE): _plane_capsule,
+    (GeomType.PLANE, GeomType.BOX): _plane_box,
+    (GeomType.PLANE, GeomType.ELLIPSOID): _plane_ellipsoid,
+    (GeomType.PLANE, GeomType.CYLINDER): _plane_capsule,  # approx
+    (GeomType.SPHERE, GeomType.SPHERE): _sphere_sphere,
+    (GeomType.SPHERE, GeomType.CAPSULE): _sphere_capsule,
+    (GeomType.SPHERE, GeomType.BOX): _sphere_box,
+    (GeomType.CAPSULE, GeomType.CAPSULE): _capsule_capsule,
+    (GeomType.CAPSULE, GeomType.BOX): _capsule_box,
+}
+
+
+def npoints(m: Model) -> int:
+  """Total static contact-point count for the model's candidate pairs."""
+  total = 0
+  for g1, g2 in m.collision_pairs:
+    t1, t2 = GeomType(m.geom_type[g1]), GeomType(m.geom_type[g2])
+    if t1 == GeomType.PLANE and t2 == GeomType.BOX:
+      total += 8
+    elif t1 == GeomType.PLANE and t2 in (GeomType.CAPSULE, GeomType.CYLINDER):
+      total += 2
+    elif t1 == GeomType.CAPSULE and t2 == GeomType.BOX:
+      total += 2
+    else:
+      total += 1
+  return total
+
+
+def collide(m: Model, d: Data) -> Data:
+  """Evaluate all candidate pairs; returns Data with dense Contact arrays."""
+  dtype = d.qpos.dtype
+  dists, poss, frames, frictions, solrefs, solimps, g1s, g2s = (
+      [], [], [], [], [], [], [], [])
+  for g1, g2 in m.collision_pairs:
+    t1, t2 = GeomType(m.geom_type[g1]), GeomType(m.geom_type[g2])
+    fn = _DISPATCH[(t1, t2)]
+    pts = fn(d.geom_xpos[g1], d.geom_xmat[g1], d.geom_xpos[g2],
+             d.geom_xmat[g2], m.geom_size[g1], m.geom_size[g2])
+    fric = jnp.maximum(m.geom_friction[g1, 0], m.geom_friction[g2, 0])
+    solref = 0.5 * (m.geom_solref[g1] + m.geom_solref[g2])
+    solimp = 0.5 * (m.geom_solimp[g1] + m.geom_solimp[g2])
+    margin = jnp.maximum(m.geom_margin[g1], m.geom_margin[g2])
+    for dist, pos, n in pts:
+      dists.append(dist - margin)
+      poss.append(pos)
+      frames.append(_frame_from_normal(n))
+      frictions.append(fric)
+      solrefs.append(solref)
+      solimps.append(solimp)
+      g1s.append(g1)
+      g2s.append(g2)
+
+  if not dists:
+    return d  # keep the (1,)-shaped inactive placeholder from make_data
+
+  contact = Contact(
+      dist=jnp.stack(dists),
+      pos=jnp.stack(poss),
+      frame=jnp.stack(frames),
+      friction=jnp.stack(frictions),
+      solref=jnp.stack(solrefs),
+      solimp=jnp.stack(solimps),
+      geom1=jnp.asarray(g1s, dtype=jnp.int32),
+      geom2=jnp.asarray(g2s, dtype=jnp.int32),
+      force=jnp.zeros((len(dists), 3), dtype=dtype),
+  )
+  return d.replace(contact=contact)

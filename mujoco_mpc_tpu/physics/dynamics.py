@@ -1,0 +1,295 @@
+"""Smooth multibody dynamics: motion subspaces, velocities, CRB inertia,
+RNE bias forces, passive forces and actuation.
+
+Replaces the reference's external MuJoCo calls (mj_step internals) with pure
+JAX. Formulation: Featherstone spatial algebra with 6-vectors [angular;
+linear] about the *fixed world origin* (MuJoCo uses moving subtree-CoM
+frames; a fixed frame is simpler and identical in exact arithmetic — scene
+scales here are ~1 m so conditioning is fine in f32, and oracle tests compare
+against MuJoCo in f64).
+
+Tree recursions are unrolled over the static topology; every statement is a
+small vectorized op, so under vmap (candidate batch) XLA maps the batch onto
+the VPU lanes.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from mujoco_mpc_tpu.physics import math
+from mujoco_mpc_tpu.physics.types import (ActDyn, Data, GainBias, JointType,
+                                          Model, TrnType)
+
+
+def com_pos(m: Model, d: Data) -> Data:
+  """Motion subspace cdof (nv, 6) for every dof, world-origin frame."""
+  cdof = []
+  for j in range(m.njnt):
+    b = m.jnt_bodyid[j]
+    jt = m.jnt_type[j]
+    dtype = d.qpos.dtype
+    if jt == JointType.FREE:
+      zeros = jnp.zeros(3, dtype=dtype)
+      for i in range(3):
+        e = jnp.zeros(3, dtype=dtype).at[i].set(1.0)
+        cdof.append(jnp.concatenate([zeros, e]))
+      anchor = d.xpos[b]
+      for i in range(3):
+        axis = d.xmat[b][:, i]
+        cdof.append(jnp.concatenate([axis, jnp.cross(anchor, axis)]))
+    elif jt == JointType.BALL:
+      anchor = d.xanchor[j]
+      for i in range(3):
+        axis = d.xmat[b][:, i]
+        cdof.append(jnp.concatenate([axis, jnp.cross(anchor, axis)]))
+    elif jt == JointType.SLIDE:
+      cdof.append(jnp.concatenate(
+          [jnp.zeros(3, dtype=dtype), d.xaxis[j]]))
+    elif jt == JointType.HINGE:
+      axis = d.xaxis[j]
+      cdof.append(jnp.concatenate(
+          [axis, jnp.cross(d.xanchor[j], axis)]))
+  cdof = (jnp.stack(cdof) if cdof
+          else jnp.zeros((0, 6), dtype=d.qpos.dtype))
+  return d.replace(cdof=cdof)
+
+
+def com_vel(m: Model, d: Data) -> Tuple[Data, jax.Array]:
+  """Body spatial velocities cvel (nbody,6) and cdof_dot (nv,6)."""
+  dtype = d.qpos.dtype
+  cvel = [jnp.zeros(6, dtype=dtype)]
+  cdof_dot = [None] * m.nv
+  for b in range(1, m.nbody):
+    v = cvel[m.body_parentid[b]]
+    jadr, jnum = m.body_jntadr[b], m.body_jntnum[b]
+    for j in range(jadr, jadr + jnum):
+      vadr = m.jnt_dofadr[j]
+      jt = m.jnt_type[j]
+      if jt in (JointType.HINGE, JointType.SLIDE):
+        # single-dof: self-cross vanishes, derivative uses chain velocity
+        cdof_dot[vadr] = math.motion_cross(v, d.cdof[vadr])
+        v = v + d.cdof[vadr] * d.qvel[vadr]
+      else:
+        # rotating child-frame axes (ball / free rotation): the axes move
+        # with the *full* child angular velocity, so accumulate first
+        nrot = 3
+        radr = vadr + 3 if jt == JointType.FREE else vadr
+        if jt == JointType.FREE:
+          for i in range(3):  # translations: constant cdof
+            cdof_dot[vadr + i] = jnp.zeros(6, dtype=dtype)
+            v = v + d.cdof[vadr + i] * d.qvel[vadr + i]
+        for i in range(nrot):
+          v = v + d.cdof[radr + i] * d.qvel[radr + i]
+        for i in range(nrot):
+          cdof_dot[radr + i] = math.motion_cross(v, d.cdof[radr + i])
+    cvel.append(v)
+  cvel = jnp.stack(cvel)
+  cdof_dot = (jnp.stack(cdof_dot) if m.nv
+              else jnp.zeros((0, 6), dtype=dtype))
+  return d.replace(cvel=cvel), cdof_dot
+
+
+def _body_inertias(m: Model, d: Data) -> jax.Array:
+  """(nbody, 6, 6) world-origin spatial inertia per body."""
+  imat = d.ximat  # inertial frame orientation
+  inertia_world = jnp.einsum(
+      "bij,bj,bkj->bik", imat, m.body_inertia, imat)
+  return jax.vmap(math.spatial_inertia)(m.body_mass, inertia_world, d.xipos)
+
+
+def crb(m: Model, d: Data) -> Data:
+  """Composite-rigid-body joint-space inertia qM (dense) via ancestor mask."""
+  ibody = _body_inertias(m, d)
+  # composite inertia: reverse accumulation over static tree
+  ic = [ibody[b] for b in range(m.nbody)]
+  for b in range(m.nbody - 1, 0, -1):
+    p = m.body_parentid[b]
+    if p > 0:
+      ic[p] = ic[p] + ic[b]
+  if m.nv == 0:
+    return d.replace(qM=jnp.zeros((0, 0), dtype=d.qpos.dtype))
+  ic_dof = jnp.stack([ic[m.dof_bodyid[j]] for j in range(m.nv)])  # (nv,6,6)
+  f = jnp.einsum("jab,jb->ja", ic_dof, d.cdof)  # (nv, 6)
+  raw = d.cdof @ f.T  # (nv, nv): raw[i,j] = cdof_i · Ic_j cdof_j
+  mask = m.dof_ancestor_mask  # i ancestor-or-self of j
+  upper = jnp.where(mask, raw, 0.0)
+  qm = upper + upper.T - jnp.diag(jnp.diag(upper))
+  qm = qm + jnp.diag(m.dof_armature)
+  return d.replace(qM=qm)
+
+
+def rne(m: Model, d: Data, cdof_dot: jax.Array) -> Data:
+  """Bias force qfrc_bias = C(q,v)v + g via recursive Newton-Euler."""
+  dtype = d.qpos.dtype
+  ibody = _body_inertias(m, d)
+  grav = jnp.concatenate([jnp.zeros(3, dtype=dtype), -m.opt.gravity])
+  # forward: bias accelerations (q̈ = 0, base accel = -g trick)
+  cacc = [grav]
+  for b in range(1, m.nbody):
+    a = cacc[m.body_parentid[b]]
+    adr, num = m.body_dofadr[b], m.body_dofnum[b]
+    for k in range(adr, adr + num):
+      a = a + cdof_dot[k] * d.qvel[k]
+    cacc.append(a)
+  # body forces
+  cfrc = []
+  for b in range(m.nbody):
+    fv = ibody[b] @ d.cvel[b]
+    cfrc.append(ibody[b] @ cacc[b] + math.force_cross(d.cvel[b], fv))
+  # backward accumulation
+  for b in range(m.nbody - 1, 0, -1):
+    p = m.body_parentid[b]
+    if p >= 0:
+      cfrc[p] = cfrc[p] + cfrc[b]
+  if m.nv == 0:
+    return d.replace(qfrc_bias=jnp.zeros((0,), dtype=dtype))
+  cfrc = jnp.stack(cfrc)
+  qfrc_bias = jnp.stack(
+      [jnp.dot(d.cdof[j], cfrc[m.dof_bodyid[j]]) for j in range(m.nv)])
+  return d.replace(qfrc_bias=qfrc_bias)
+
+
+def xfrc_accumulate(m: Model, d: Data) -> jax.Array:
+  """Map per-body applied wrenches [torque; force]@CoM into qfrc (nv,)."""
+  if m.nv == 0 or m.nbody <= 1:
+    return jnp.zeros((m.nv,), dtype=d.qpos.dtype)
+  torque = d.xfrc_applied[:, :3]
+  force = d.xfrc_applied[:, 3:]
+  # spatial force about world origin
+  fs = jnp.concatenate([torque + jnp.cross(d.xipos, force), force], axis=-1)
+  # qfrc_j = Σ_b [dof j on path of b] cdof_j · F_b
+  proj = d.cdof @ fs.T  # (nv, nbody)
+  return jnp.sum(jnp.where(m.dof_body_mask, proj, 0.0), axis=1)
+
+
+def passive(m: Model, d: Data) -> Data:
+  """Springs, dampers and smoothed joint friction loss."""
+  dtype = d.qpos.dtype
+  if m.nv == 0:
+    return d.replace(qfrc_passive=jnp.zeros((0,), dtype=dtype))
+  qfrc = -m.dof_damping * d.qvel
+  # smooth Coulomb-style friction loss (reference puts this in the
+  # constraint solver; a tanh regularization keeps it smooth for autodiff)
+  qfrc = qfrc - m.dof_frictionloss * jnp.tanh(d.qvel / 0.01)
+  # joint springs about qpos_spring
+  spring = jnp.zeros(m.nv, dtype=dtype)
+  for j in range(m.njnt):
+    qadr, vadr = m.jnt_qposadr[j], m.jnt_dofadr[j]
+    jt = m.jnt_type[j]
+    k = m.jnt_stiffness[j]
+    if jt in (JointType.HINGE, JointType.SLIDE):
+      spring = spring.at[vadr].add(
+          -k * (d.qpos[qadr] - m.qpos_spring[qadr]))
+    elif jt == JointType.BALL:
+      dq = math.quat_sub(d.qpos[qadr:qadr + 4],
+                         m.qpos_spring[qadr:qadr + 4])
+      spring = spring.at[vadr:vadr + 3].add(-k * dq)
+    elif jt == JointType.FREE:
+      spring = spring.at[vadr:vadr + 3].add(
+          -k * (d.qpos[qadr:qadr + 3] - m.qpos_spring[qadr:qadr + 3]))
+      dq = math.quat_sub(d.qpos[qadr + 3:qadr + 7],
+                         m.qpos_spring[qadr + 3:qadr + 7])
+      spring = spring.at[vadr + 3:vadr + 6].add(-k * dq)
+  return d.replace(qfrc_passive=qfrc + spring)
+
+
+def _site_moment(m: Model, d: Data, u: int) -> jax.Array:
+  """(nv,) generalized moment for a site-transmission actuator (unit force).
+
+  The 6-vector gear = [force(3); torque(3)] is expressed in the site frame
+  (reference semantics: thrust-style actuation, e.g. quadrotor rotors).
+  """
+  sid = m.actuator_trnid[u]
+  b = m.site_bodyid[sid]
+  rot = d.site_xmat[sid]
+  force = rot @ m.actuator_gear[u, :3]
+  torque = rot @ m.actuator_gear[u, 3:]
+  fs = jnp.concatenate(
+      [torque + jnp.cross(d.site_xpos[sid], force), force])
+  proj = d.cdof @ fs  # (nv,)
+  return jnp.where(m.dof_body_mask[:, b], proj, 0.0)
+
+
+def actuation(m: Model, d: Data) -> Data:
+  """Actuator forces → qfrc_actuator; activation derivative act_dot."""
+  dtype = d.qpos.dtype
+  if m.nu == 0:
+    return d.replace(
+        qfrc_actuator=jnp.zeros((m.nv,), dtype=dtype),
+        actuator_force=jnp.zeros((0,), dtype=dtype),
+        act_dot=jnp.zeros((m.na,), dtype=dtype))
+
+  ctrl = jnp.where(
+      m.actuator_ctrllimited,
+      jnp.clip(d.ctrl, m.actuator_ctrlrange[:, 0],
+               m.actuator_ctrlrange[:, 1]), d.ctrl)
+
+  lengths, vels, moments = [], [], []
+  for u in range(m.nu):
+    if m.actuator_trntype[u] == TrnType.JOINT:
+      j = m.actuator_trnid[u]
+      qadr, vadr = m.jnt_qposadr[j], m.jnt_dofadr[j]
+      g = m.actuator_gear[u, 0]
+      if m.jnt_type[j] in (JointType.HINGE, JointType.SLIDE):
+        lengths.append(g * d.qpos[qadr])
+        vels.append(g * d.qvel[vadr])
+        moments.append(
+            jnp.zeros(m.nv, dtype=dtype).at[vadr].set(g))
+      else:  # ball/free: torque via rotational gear components
+        nrot = 3
+        radr = vadr + 3 if m.jnt_type[j] == JointType.FREE else vadr
+        gvec = m.actuator_gear[u, :3]
+        mom = jnp.zeros(m.nv, dtype=dtype)
+        for i in range(nrot):
+          mom = mom.at[radr + i].set(gvec[i])
+        lengths.append(jnp.zeros((), dtype=dtype))
+        vels.append(jnp.dot(gvec, d.qvel[radr:radr + nrot]))
+        moments.append(mom)
+    else:  # SITE transmission
+      lengths.append(jnp.zeros((), dtype=dtype))
+      vels.append(jnp.zeros((), dtype=dtype))
+      moments.append(_site_moment(m, d, u))
+  length = jnp.stack(lengths)
+  velocity = jnp.stack(vels)
+  moment = jnp.stack(moments)  # (nu, nv)
+
+  # activation dynamics
+  act_dot = jnp.zeros((m.na,), dtype=dtype)
+  inputs = []
+  for u in range(m.nu):
+    dyn = m.actuator_dyntype[u]
+    if dyn == ActDyn.NONE:
+      inputs.append(ctrl[u])
+    else:
+      aadr = m.actuator_actadr[u]
+      inputs.append(d.act[aadr])
+      if dyn == ActDyn.INTEGRATOR:
+        act_dot = act_dot.at[aadr].set(ctrl[u])
+      else:  # FILTER / FILTEREXACT
+        tau = jnp.maximum(m.actuator_dynprm[u, 0], 1e-8)
+        act_dot = act_dot.at[aadr].set((ctrl[u] - d.act[aadr]) / tau)
+  inp = jnp.stack(inputs)
+
+  gain = jnp.where(
+      jnp.asarray([t == GainBias.FIXED for t in m.actuator_gaintype]),
+      m.actuator_gainprm[:, 0],
+      m.actuator_gainprm[:, 0] + m.actuator_gainprm[:, 1] * length +
+      m.actuator_gainprm[:, 2] * velocity)
+  bias = jnp.where(
+      jnp.asarray([t == GainBias.FIXED for t in m.actuator_biastype]),
+      jnp.zeros((m.nu,), dtype=dtype),
+      m.actuator_biasprm[:, 0] + m.actuator_biasprm[:, 1] * length +
+      m.actuator_biasprm[:, 2] * velocity)
+  force = gain * inp + bias
+  force = jnp.where(
+      m.actuator_forcelimited,
+      jnp.clip(force, m.actuator_forcerange[:, 0],
+               m.actuator_forcerange[:, 1]), force)
+
+  qfrc = moment.T @ force
+  return d.replace(
+      qfrc_actuator=qfrc, actuator_force=force, act_dot=act_dot)

@@ -1,0 +1,389 @@
+"""Host-side MJCF loading: mujoco.MjModel → mujoco_mpc_tpu Model pytree.
+
+The `mujoco` pip package is used ONLY as an MJCF parser on the host (the same
+role CMake/mjcf loading plays in the reference, mjpc/agent.cc:233-268). All
+simulation compute is this package's own JAX code — no mj_* stepping is used
+anywhere in the runtime.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from mujoco_mpc_tpu.physics import types
+
+# supported narrowphase pair kinds (round 1); see collision.py
+_SUPPORTED_PAIRS = {
+    (types.GeomType.PLANE, types.GeomType.SPHERE),
+    (types.GeomType.PLANE, types.GeomType.CAPSULE),
+    (types.GeomType.PLANE, types.GeomType.BOX),
+    (types.GeomType.PLANE, types.GeomType.ELLIPSOID),
+    (types.GeomType.PLANE, types.GeomType.CYLINDER),
+    (types.GeomType.SPHERE, types.GeomType.SPHERE),
+    (types.GeomType.SPHERE, types.GeomType.CAPSULE),
+    (types.GeomType.SPHERE, types.GeomType.BOX),
+    (types.GeomType.CAPSULE, types.GeomType.CAPSULE),
+    (types.GeomType.CAPSULE, types.GeomType.BOX),
+}
+
+
+def _names(mj, adr_list, count, prefix) -> tuple:
+  out = []
+  raw = mj.names
+  for i in range(count):
+    adr = int(adr_list[i])
+    end = raw.find(b"\x00", adr)
+    out.append(raw[adr:end].decode())
+  return tuple(out)
+
+
+def _sensor_type_map(mujoco):
+  s = mujoco.mjtSensor
+  return {
+      int(s.mjSENS_JOINTPOS): types.SensorType.JOINTPOS,
+      int(s.mjSENS_JOINTVEL): types.SensorType.JOINTVEL,
+      int(s.mjSENS_FRAMEPOS): types.SensorType.FRAMEPOS,
+      int(s.mjSENS_FRAMEQUAT): types.SensorType.FRAMEQUAT,
+      int(s.mjSENS_FRAMEXAXIS): types.SensorType.FRAMEXAXIS,
+      int(s.mjSENS_FRAMEYAXIS): types.SensorType.FRAMEYAXIS,
+      int(s.mjSENS_FRAMEZAXIS): types.SensorType.FRAMEZAXIS,
+      int(s.mjSENS_FRAMELINVEL): types.SensorType.FRAMELINVEL,
+      int(s.mjSENS_FRAMEANGVEL): types.SensorType.FRAMEANGVEL,
+      int(s.mjSENS_SUBTREECOM): types.SensorType.SUBTREECOM,
+      int(s.mjSENS_SUBTREELINVEL): types.SensorType.SUBTREELINVEL,
+      int(s.mjSENS_ACTUATORFRC): types.SensorType.ACTUATORFRC,
+      int(s.mjSENS_TOUCH): types.SensorType.TOUCH,
+      int(s.mjSENS_ACCELEROMETER): types.SensorType.ACCELEROMETER,
+      int(s.mjSENS_GYRO): types.SensorType.GYRO,
+      int(s.mjSENS_USER): types.SensorType.USER,
+  }
+
+
+def _obj_type_map(mujoco):
+  o = mujoco.mjtObj
+  return {
+      int(o.mjOBJ_BODY): types.ObjType.BODY,
+      int(o.mjOBJ_XBODY): types.ObjType.XBODY,
+      int(o.mjOBJ_GEOM): types.ObjType.GEOM,
+      int(o.mjOBJ_SITE): types.ObjType.SITE,
+      int(o.mjOBJ_JOINT): types.ObjType.JOINT,
+      int(o.mjOBJ_UNKNOWN): types.ObjType.BODY,
+  }
+
+
+def _collision_pairs(mj) -> tuple:
+  """Static broadphase: contype/conaffinity + body-filter compatible pairs."""
+  pairs = []
+  excluded = set()
+  for i in range(mj.nexclude):
+    sig = int(mj.exclude_signature[i])
+    excluded.add((sig >> 16, sig & 0xFFFF))
+    excluded.add((sig & 0xFFFF, sig >> 16))
+  for g1 in range(mj.ngeom):
+    for g2 in range(g1 + 1, mj.ngeom):
+      b1, b2 = int(mj.geom_bodyid[g1]), int(mj.geom_bodyid[g2])
+      if b1 == b2:
+        continue
+      # parent-child filter (as in MuJoCo, unless one parent is world)
+      w1 = int(mj.body_weldid[b1])
+      w2 = int(mj.body_weldid[b2])
+      if w1 == w2:
+        continue
+      p1 = int(mj.body_weldid[mj.body_parentid[w1]])
+      p2 = int(mj.body_weldid[mj.body_parentid[w2]])
+      if (w1 == p2 or w2 == p1) and not (p1 == 0 or p2 == 0):
+        continue
+      if (b1, b2) in excluded:
+        continue
+      t1 = int(mj.geom_contype[g1]) & int(mj.geom_conaffinity[g2])
+      t2 = int(mj.geom_contype[g2]) & int(mj.geom_conaffinity[g1])
+      if not (t1 or t2):
+        continue
+      ty1, ty2 = int(mj.geom_type[g1]), int(mj.geom_type[g2])
+      a, b = (g1, g2) if ty1 <= ty2 else (g2, g1)
+      key = (types.GeomType(min(ty1, ty2)), types.GeomType(max(ty1, ty2)))
+      if key not in _SUPPORTED_PAIRS:
+        continue  # unsupported narrowphase; skipped (documented limitation)
+      pairs.append((a, b))
+  return tuple(pairs)
+
+
+def _dof_ancestor_mask(body_parentid, body_dofadr, body_dofnum,
+                       dof_bodyid) -> np.ndarray:
+  """mask[i, j] = True iff dof i is on the kinematic path of dof j (i<=j)."""
+  nv = len(dof_bodyid)
+  # dof parent pointer: previous dof within body, else last dof of nearest
+  # dof-bearing ancestor body.
+  dof_parent = np.full(nv, -1, dtype=np.int64)
+  for b in range(len(body_parentid)):
+    adr, num = body_dofadr[b], body_dofnum[b]
+    if num == 0:
+      continue
+    # nearest ancestor with dofs
+    p = body_parentid[b]
+    anc_last = -1
+    while p >= 0:
+      if body_dofnum[p] > 0:
+        anc_last = body_dofadr[p] + body_dofnum[p] - 1
+        break
+      if p == 0:
+        break
+      p = body_parentid[p]
+    for k in range(num):
+      dof_parent[adr + k] = adr + k - 1 if k > 0 else anc_last
+  mask = np.zeros((nv, nv), dtype=bool)
+  for j in range(nv):
+    i = j
+    while i >= 0:
+      mask[i, j] = True
+      i = dof_parent[i]
+  return mask
+
+
+def _dof_body_mask(body_parentid, body_dofadr, body_dofnum,
+                   nv: int) -> np.ndarray:
+  """mask[i, b] = True iff dof i is on the kinematic path from world to b."""
+  nbody = len(body_parentid)
+  mask = np.zeros((nv, nbody), dtype=bool)
+  for b in range(1, nbody):
+    p = b
+    while p > 0:
+      adr, num = body_dofadr[p], body_dofnum[p]
+      for k in range(num):
+        mask[adr + k, b] = True
+      p = body_parentid[p]
+  return mask
+
+
+def load_model(path_or_xml: str, dtype=jnp.float32) -> types.Model:
+  """Load an MJCF file (or XML string) into a Model pytree."""
+  import mujoco  # host-only import
+
+  if path_or_xml.lstrip().startswith("<"):
+    mj = mujoco.MjModel.from_xml_string(path_or_xml)
+  else:
+    mj = mujoco.MjModel.from_xml_path(path_or_xml)
+  return from_mjmodel(mj, dtype=dtype)
+
+
+def from_mjmodel(mj, dtype=jnp.float32) -> types.Model:
+  import mujoco
+
+  sens_map = _sensor_type_map(mujoco)
+  obj_map = _obj_type_map(mujoco)
+
+  a = lambda x: jnp.asarray(np.asarray(x), dtype=dtype)
+  ti = lambda x: tuple(int(v) for v in np.asarray(x).ravel())
+
+  # actuator gates
+  for i in range(mj.nu):
+    trn = int(mj.actuator_trntype[i])
+    if trn not in (int(mujoco.mjtTrn.mjTRN_JOINT),
+                   int(mujoco.mjtTrn.mjTRN_SITE)):
+      raise NotImplementedError(
+          f"actuator {i}: transmission type {trn} unsupported (joint/site "
+          "only in this round)")
+    if int(mj.actuator_gaintype[i]) > 1 or int(mj.actuator_biastype[i]) > 1:
+      raise NotImplementedError("muscle actuators unsupported")
+
+  trn_map = {
+      int(mujoco.mjtTrn.mjTRN_JOINT): types.TrnType.JOINT,
+      int(mujoco.mjtTrn.mjTRN_SITE): types.TrnType.SITE,
+  }
+
+  # sensors
+  sensor_spec = []
+  for i in range(mj.nsensor):
+    st = int(mj.sensor_type[i])
+    if st not in sens_map:
+      raise NotImplementedError(f"sensor type {st} unsupported")
+    sensor_spec.append((
+        int(sens_map[st]),
+        int(obj_map.get(int(mj.sensor_objtype[i]), types.ObjType.BODY)),
+        int(mj.sensor_objid[i]),
+        int(mj.sensor_adr[i]),
+        int(mj.sensor_dim[i]),
+    ))
+
+  # custom numerics
+  numerics = []
+  name_tuple = _names(mj, mj.name_numericadr, mj.nnumeric, "numeric")
+  for i in range(mj.nnumeric):
+    adr, num = int(mj.numeric_adr[i]), int(mj.numeric_size[i])
+    numerics.append(
+        (name_tuple[i], tuple(float(v) for v in mj.numeric_data[adr:adr + num])))
+
+  # keyframes
+  keyframes = []
+  key_names = _names(mj, mj.name_keyadr, mj.nkey, "key")
+  for i in range(mj.nkey):
+    keyframes.append((key_names[i], (
+        tuple(float(v) for v in mj.key_qpos[i]),
+        tuple(float(v) for v in mj.key_qvel[i]),
+        tuple(float(v) for v in mj.key_ctrl[i]),
+    )))
+
+  # subtree mass
+  subtreemass = np.array(mj.body_mass, dtype=np.float64)
+  for b in range(mj.nbody - 1, 0, -1):
+    subtreemass[int(mj.body_parentid[b])] += subtreemass[b]
+
+  ancestor = _dof_ancestor_mask(
+      ti(mj.body_parentid), ti(mj.body_dofadr), ti(mj.body_dofnum),
+      ti(mj.dof_bodyid))
+  dof_body = _dof_body_mask(
+      ti(mj.body_parentid), ti(mj.body_dofadr), ti(mj.body_dofnum),
+      int(mj.nv))
+
+  nuserdata = max(int(mj.nuserdata), 16)  # room for task FSM state
+
+  opt = types.Option(
+      timestep=jnp.asarray(mj.opt.timestep, dtype=dtype),
+      gravity=a(mj.opt.gravity),
+      impratio=jnp.asarray(mj.opt.impratio, dtype=dtype),
+      integrator=int(mj.opt.integrator),
+  )
+
+  model = types.Model(
+      nq=int(mj.nq), nv=int(mj.nv), nu=int(mj.nu), na=int(mj.na),
+      nbody=int(mj.nbody), njnt=int(mj.njnt), ngeom=int(mj.ngeom),
+      nsite=int(mj.nsite), nmocap=int(mj.nmocap), nuserdata=nuserdata,
+      nsensordata=int(mj.nsensordata),
+      body_parentid=ti(mj.body_parentid),
+      body_rootid=ti(mj.body_rootid),
+      body_jntadr=ti(mj.body_jntadr),
+      body_jntnum=ti(mj.body_jntnum),
+      body_dofadr=ti(mj.body_dofadr),
+      body_dofnum=ti(mj.body_dofnum),
+      body_mocapid=ti(mj.body_mocapid),
+      body_names=_names(mj, mj.name_bodyadr, mj.nbody, "body"),
+      jnt_type=ti(mj.jnt_type),
+      jnt_qposadr=ti(mj.jnt_qposadr),
+      jnt_dofadr=ti(mj.jnt_dofadr),
+      jnt_bodyid=ti(mj.jnt_bodyid),
+      jnt_limited=tuple(bool(v) for v in mj.jnt_limited),
+      jnt_names=_names(mj, mj.name_jntadr, mj.njnt, "joint"),
+      dof_bodyid=ti(mj.dof_bodyid),
+      dof_jntid=ti(mj.dof_jntid),
+      geom_type=ti(mj.geom_type),
+      geom_bodyid=ti(mj.geom_bodyid),
+      geom_names=_names(mj, mj.name_geomadr, mj.ngeom, "geom"),
+      collision_pairs=_collision_pairs(mj),
+      site_bodyid=ti(mj.site_bodyid),
+      site_names=_names(mj, mj.name_siteadr, mj.nsite, "site"),
+      actuator_trntype=tuple(
+          int(trn_map[int(t)]) for t in mj.actuator_trntype),
+      actuator_trnid=tuple(int(v[0]) for v in mj.actuator_trnid),
+      actuator_dyntype=ti(mj.actuator_dyntype),
+      actuator_gaintype=ti(mj.actuator_gaintype),
+      actuator_biastype=ti(mj.actuator_biastype),
+      actuator_actadr=ti(mj.actuator_actadr),
+      actuator_names=_names(mj, mj.name_actuatoradr, mj.nu, "actuator"),
+      sensor_spec=tuple(sensor_spec),
+      sensor_names=_names(mj, mj.name_sensoradr, mj.nsensor, "sensor"),
+      custom_numeric=tuple(numerics),
+      keyframes=tuple(keyframes),
+      opt=opt,
+      qpos0=a(mj.qpos0),
+      qpos_spring=a(mj.qpos_spring),
+      body_pos=a(mj.body_pos),
+      body_quat=a(mj.body_quat),
+      body_ipos=a(mj.body_ipos),
+      body_iquat=a(mj.body_iquat),
+      body_mass=a(mj.body_mass),
+      body_inertia=a(mj.body_inertia),
+      body_subtreemass=a(subtreemass),
+      jnt_pos=a(mj.jnt_pos),
+      jnt_axis=a(mj.jnt_axis),
+      jnt_range=a(mj.jnt_range),
+      jnt_stiffness=a(mj.jnt_stiffness),
+      jnt_solref=a(mj.jnt_solref),
+      jnt_margin=a(mj.jnt_margin),
+      dof_damping=a(mj.dof_damping),
+      dof_armature=a(mj.dof_armature),
+      dof_frictionloss=a(mj.dof_frictionloss),
+      dof_ancestor_mask=jnp.asarray(ancestor),
+      dof_body_mask=jnp.asarray(dof_body),
+      geom_pos=a(mj.geom_pos),
+      geom_quat=a(mj.geom_quat),
+      geom_size=a(mj.geom_size),
+      geom_friction=a(mj.geom_friction),
+      geom_solref=a(mj.geom_solref),
+      geom_solimp=a(mj.geom_solimp),
+      geom_margin=a(mj.geom_margin),
+      site_pos=a(mj.site_pos),
+      site_quat=a(mj.site_quat),
+      actuator_gear=a(mj.actuator_gear),
+      actuator_ctrlrange=a(mj.actuator_ctrlrange),
+      actuator_forcerange=a(mj.actuator_forcerange),
+      actuator_ctrllimited=jnp.asarray(
+          np.asarray(mj.actuator_ctrllimited, dtype=bool)),
+      actuator_forcelimited=jnp.asarray(
+          np.asarray(mj.actuator_forcelimited, dtype=bool)),
+      actuator_gainprm=a(mj.actuator_gainprm[:, :3]),
+      actuator_biasprm=a(mj.actuator_biasprm[:, :3]),
+      actuator_dynprm=a(mj.actuator_dynprm[:, :3]),
+      actuator_actrange=a(mj.actuator_actrange),
+  )
+  return model
+
+
+def make_data(m: types.Model, dtype=None) -> types.Data:
+  """Fresh Data at the model reference configuration qpos0."""
+  dtype = dtype or m.qpos0.dtype
+  z = lambda *shape: jnp.zeros(shape, dtype=dtype)
+  npair = max(len(m.collision_pairs), 1)
+  eye3 = jnp.broadcast_to(jnp.eye(3, dtype=dtype), (npair, 3, 3))
+  contact = types.Contact(
+      dist=jnp.full((npair,), 1e10, dtype=dtype),
+      pos=z(npair, 3),
+      frame=eye3,
+      friction=z(npair),
+      solref=z(npair, 2),
+      solimp=z(npair, 5),
+      geom1=jnp.zeros((npair,), dtype=jnp.int32),
+      geom2=jnp.zeros((npair,), dtype=jnp.int32),
+      force=z(npair, 3),
+  )
+  quat0 = jnp.tile(
+      jnp.asarray([1.0, 0, 0, 0], dtype=dtype), (max(m.nbody, 1), 1))
+  return types.Data(
+      time=jnp.asarray(0.0, dtype=dtype),
+      qpos=jnp.asarray(m.qpos0, dtype=dtype),
+      qvel=z(m.nv),
+      act=z(m.na),
+      ctrl=z(m.nu),
+      qfrc_applied=z(m.nv),
+      xfrc_applied=z(m.nbody, 6),
+      mocap_pos=z(m.nmocap, 3),
+      mocap_quat=jnp.tile(
+          jnp.asarray([1.0, 0, 0, 0], dtype=dtype), (max(m.nmocap, 1), 1))[
+              :m.nmocap],
+      userdata=z(m.nuserdata),
+      xpos=z(m.nbody, 3),
+      xquat=quat0,
+      xmat=jnp.broadcast_to(jnp.eye(3, dtype=dtype), (m.nbody, 3, 3)),
+      xipos=z(m.nbody, 3),
+      ximat=jnp.broadcast_to(jnp.eye(3, dtype=dtype), (m.nbody, 3, 3)),
+      xanchor=z(m.njnt, 3),
+      xaxis=z(m.njnt, 3),
+      geom_xpos=z(m.ngeom, 3),
+      geom_xmat=jnp.broadcast_to(jnp.eye(3, dtype=dtype), (m.ngeom, 3, 3)),
+      site_xpos=z(m.nsite, 3),
+      site_xmat=jnp.broadcast_to(jnp.eye(3, dtype=dtype), (m.nsite, 3, 3)),
+      subtree_com=z(m.nbody, 3),
+      cdof=z(m.nv, 6),
+      cvel=z(m.nbody, 6),
+      qM=z(m.nv, m.nv),
+      qLD=z(m.nv, m.nv),
+      qfrc_bias=z(m.nv),
+      qfrc_passive=z(m.nv),
+      qfrc_actuator=z(m.nv),
+      qfrc_constraint=z(m.nv),
+      actuator_force=z(m.nu),
+      act_dot=z(m.na),
+      qacc=z(m.nv),
+      contact=contact,
+      sensordata=z(m.nsensordata),
+  )

@@ -1,0 +1,104 @@
+"""Sensor evaluation (position/velocity stage).
+
+Mirrors the reference's reliance on MuJoCo sensors for residuals and
+estimator measurements (SURVEY §2.4: cost terms are `<user>` sensors; EKF/UKF
+consume sensordata). USER sensors are placeholders whose slots are written by
+task residual functions.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from mujoco_mpc_tpu.physics import math
+from mujoco_mpc_tpu.physics.types import Data, Model, ObjType, SensorType
+
+
+def _frame(m: Model, d: Data, objtype: int, objid: int):
+  """(pos, rot, bodyid) of a sensor attachment object."""
+  if objtype == ObjType.SITE:
+    return d.site_xpos[objid], d.site_xmat[objid], m.site_bodyid[objid]
+  if objtype == ObjType.GEOM:
+    return d.geom_xpos[objid], d.geom_xmat[objid], m.geom_bodyid[objid]
+  if objtype == ObjType.XBODY:
+    return d.xpos[objid], d.xmat[objid], objid
+  return d.xpos[objid], d.xmat[objid], objid  # BODY
+
+
+def _point_vel(d: Data, body: int, point: jax.Array) -> jax.Array:
+  """World linear velocity of a body-fixed point (world-origin cvel)."""
+  v = d.cvel[body]
+  return v[3:] + jnp.cross(v[:3], point)
+
+
+def sensors(m: Model, d: Data) -> Data:
+  """Fill d.sensordata for all supported sensor types."""
+  if m.nsensordata == 0:
+    return d
+  out = d.sensordata
+  for i, (stype, objtype, objid, adr, dim) in enumerate(m.sensor_spec):
+    st = SensorType(stype)
+    if st == SensorType.USER:
+      continue  # written by task residuals
+    if st == SensorType.JOINTPOS:
+      val = d.qpos[m.jnt_qposadr[objid]][None]
+    elif st == SensorType.JOINTVEL:
+      val = d.qvel[m.jnt_dofadr[objid]][None]
+    elif st == SensorType.FRAMEPOS:
+      pos, _, _ = _frame(m, d, objtype, objid)
+      val = pos
+    elif st == SensorType.FRAMEQUAT:
+      _, rot, _ = _frame(m, d, objtype, objid)
+      val = math.mat_to_quat(rot)
+    elif st in (SensorType.FRAMEXAXIS, SensorType.FRAMEYAXIS,
+                SensorType.FRAMEZAXIS):
+      _, rot, _ = _frame(m, d, objtype, objid)
+      val = rot[:, int(st) - int(SensorType.FRAMEXAXIS)]
+    elif st == SensorType.FRAMELINVEL:
+      pos, _, body = _frame(m, d, objtype, objid)
+      val = _point_vel(d, body, pos)
+    elif st == SensorType.FRAMEANGVEL:
+      _, _, body = _frame(m, d, objtype, objid)
+      val = d.cvel[body][:3]
+    elif st == SensorType.SUBTREECOM:
+      val = d.subtree_com[objid]
+    elif st == SensorType.SUBTREELINVEL:
+      # subtree momentum / subtree mass, over the static descendant set
+      mom = jnp.zeros(3, dtype=d.qpos.dtype)
+      desc = _descendants(m, objid)
+      for b in desc:
+        mom = mom + m.body_mass[b] * _point_vel(d, b, d.xipos[b])
+      val = mom / jnp.maximum(m.body_subtreemass[objid], 1e-12)
+    elif st == SensorType.ACTUATORFRC:
+      val = d.actuator_force[objid][None]
+    elif st == SensorType.GYRO:
+      _, rot, body = _frame(m, d, objtype, objid)
+      val = rot.T @ d.cvel[body][:3]
+    elif st == SensorType.TOUCH:
+      # sum of normal contact force magnitude on geoms of the site's body
+      body = m.site_bodyid[objid]
+      gb = jnp.asarray(m.geom_bodyid, dtype=jnp.int32)
+      on_body = jnp.logical_or(gb[d.contact.geom1] == body,
+                               gb[d.contact.geom2] == body)
+      val = jnp.sum(jnp.where(on_body, d.contact.force[:, 0], 0.0))[None]
+    elif st == SensorType.ACCELEROMETER:
+      # requires qacc (filled post-dynamics); approximate with gravity-only
+      # when called at position stage. Proper support: later round.
+      _, rot, body = _frame(m, d, objtype, objid)
+      val = -(rot.T @ m.opt.gravity)
+    else:
+      continue
+    out = jax.lax.dynamic_update_slice(out, val.astype(out.dtype), (adr,))
+  return d.replace(sensordata=out)
+
+
+def _descendants(m: Model, root: int):
+  out = []
+  for b in range(root, m.nbody):
+    p = b
+    while p > root:
+      p = m.body_parentid[p]
+    if p == root:
+      out.append(b)
+  return out

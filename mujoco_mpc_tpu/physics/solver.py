@@ -1,0 +1,199 @@
+"""Soft-constraint solver: contacts + joint limits.
+
+MuJoCo-style compliant constraints (impedance from solimp, reference
+acceleration from solref) solved with a fixed-iteration projected relaxation
+over the contact-space (Delassus) operator — branch-free, static shapes,
+differentiable; the iteration count is a compile-time constant so the whole
+solve fuses into the jitted step. Reference behavior being replaced:
+MuJoCo's PGS/Newton solvers invoked by mj_step inside
+Trajectory::Rollout (mjpc/trajectory.cc:141-180).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from mujoco_mpc_tpu.physics.types import Data, JointType, Model
+
+_MINIMP, _MAXIMP = 1e-4, 0.9999
+_DEFAULT_SOLREF = (0.02, 1.0)
+_DEFAULT_SOLIMP = (0.9, 0.95, 0.001, 0.5, 2.0)
+_ITERATIONS = 20
+_RELAX = 0.3
+
+
+def _impedance(pos: jax.Array, solimp: jax.Array) -> jax.Array:
+  """MuJoCo impedance sigmoid d(pos) ∈ (0,1)."""
+  d0, d1, width, mid, power = (solimp[..., 0], solimp[..., 1],
+                               solimp[..., 2], solimp[..., 3],
+                               solimp[..., 4])
+  x = jnp.clip(jnp.abs(pos) / jnp.maximum(width, 1e-12), 0.0, 1.0)
+  mid = jnp.clip(mid, 1e-4, 1 - 1e-4)
+  power = jnp.maximum(power, 1.0)
+  y_lo = jnp.power(x / mid, power) * mid
+  y_hi = 1.0 - jnp.power((1 - x) / (1 - mid), power) * (1 - mid)
+  y = jnp.where(x < mid, y_lo, y_hi)
+  return jnp.clip(d0 + y * (d1 - d0), _MINIMP, _MAXIMP)
+
+
+def _kb(solref: jax.Array, dmax: jax.Array) -> Tuple[jax.Array, jax.Array]:
+  """Stiffness/damping from solref, supporting the direct (negative) form."""
+  timeconst = jnp.maximum(solref[..., 0], 1e-8)
+  dampratio = jnp.maximum(solref[..., 1], 1e-8)
+  k_std = 1.0 / (dmax * dmax * timeconst * timeconst *
+                 dampratio * dampratio)
+  b_std = 2.0 / (dmax * timeconst)
+  k_dir = -solref[..., 0] / (dmax * dmax)
+  b_dir = -solref[..., 1] / dmax
+  direct = jnp.logical_and(solref[..., 0] <= 0, solref[..., 1] <= 0)
+  return jnp.where(direct, k_dir, k_std), jnp.where(direct, b_dir, b_std)
+
+
+def _contact_jacobian(m: Model, d: Data) -> jax.Array:
+  """(npt, 3, nv): contact-frame relative velocity Jacobian per point."""
+  con = d.contact
+  b1 = jnp.asarray(m.geom_bodyid, dtype=jnp.int32)[con.geom1]
+  b2 = jnp.asarray(m.geom_bodyid, dtype=jnp.int32)[con.geom2]
+
+  # translational Jacobian of a world point p for all dofs:
+  #   Jp(dof) = cdof_lin + cdof_ang × p, masked to dofs on each body's path
+  mask1 = m.dof_body_mask.T[b1]  # (npt, nv)
+  mask2 = m.dof_body_mask.T[b2]
+  jac_all = (d.cdof[None, :, 3:] +
+             jnp.cross(jnp.broadcast_to(d.cdof[None, :, :3],
+                                        (con.pos.shape[0], m.nv, 3)),
+                       con.pos[:, None, :]))  # (npt, nv, 3)
+  jrel = (jnp.where(mask2[..., None], jac_all, 0.0) -
+          jnp.where(mask1[..., None], jac_all, 0.0))  # (npt, nv, 3)
+  # project into contact frame rows
+  return jnp.einsum("prc,pnc->prn", con.frame, jrel)  # (npt, 3, nv)
+
+
+def _limit_rows(m: Model, d: Data):
+  """Static two-sided limit rows for limited scalar joints."""
+  rows, poss, solrefs = [], [], []
+  dtype = d.qpos.dtype
+  for j in range(m.njnt):
+    if not m.jnt_limited[j]:
+      continue
+    if m.jnt_type[j] not in (JointType.HINGE, JointType.SLIDE):
+      continue  # ball-limit support: later round
+    qadr, vadr = m.jnt_qposadr[j], m.jnt_dofadr[j]
+    e = jnp.zeros(m.nv, dtype=dtype)
+    rows.append(e.at[vadr].set(1.0))
+    poss.append(d.qpos[qadr] - m.jnt_range[j, 0] - m.jnt_margin[j])
+    solrefs.append(m.jnt_solref[j])
+    rows.append(e.at[vadr].set(-1.0))
+    poss.append(m.jnt_range[j, 1] - d.qpos[qadr] - m.jnt_margin[j])
+    solrefs.append(m.jnt_solref[j])
+  if not rows:
+    return None
+  return (jnp.stack(rows), jnp.stack(poss), jnp.stack(solrefs))
+
+
+def solve(m: Model, d: Data, qacc_smooth: jax.Array,
+          chol_factor) -> Data:
+  """Compute qfrc_constraint from contacts and joint limits.
+
+  Args:
+    qacc_smooth: unconstrained acceleration (nv,).
+    chol_factor: (c, lower) from jax.scipy.linalg.cho_factor of the
+      (implicit-damping-augmented) inertia.
+  """
+  dtype = d.qpos.dtype
+  ncon = d.contact.dist.shape[0]
+  have_contacts = len(m.collision_pairs) > 0
+
+  j_blocks, pos_list, solref_list, solimp_list = [], [], [], []
+  if have_contacts:
+    jc = _contact_jacobian(m, d)  # (npt, 3, nv)
+    j_blocks.append(jc.reshape(-1, m.nv))
+    # position term only on the normal row
+    pos3 = jnp.stack([d.contact.dist,
+                      jnp.zeros_like(d.contact.dist),
+                      jnp.zeros_like(d.contact.dist)], axis=-1)
+    pos_list.append(pos3.reshape(-1))
+    solref_list.append(jnp.repeat(d.contact.solref, 3, axis=0))
+    solimp_list.append(jnp.repeat(d.contact.solimp, 3, axis=0))
+
+  lim = _limit_rows(m, d)
+  nlim = 0
+  if lim is not None:
+    jl, pl, sl = lim
+    nlim = jl.shape[0]
+    j_blocks.append(jl)
+    pos_list.append(pl)
+    solref_list.append(sl)
+    solimp_list.append(jnp.broadcast_to(
+        jnp.asarray(_DEFAULT_SOLIMP, dtype=dtype), (nlim, 5)))
+
+  if not j_blocks:
+    zero = jnp.zeros((m.nv,), dtype=dtype)
+    return d.replace(qfrc_constraint=zero)
+
+  jmat = jnp.concatenate(j_blocks)  # (nrow, nv)
+  pos = jnp.concatenate(pos_list)  # (nrow,)
+  solref = jnp.concatenate(solref_list)
+  solimp = jnp.concatenate(solimp_list)
+  nrow = jmat.shape[0]
+
+  # active rows: violated constraints (normal rows drive their friction rows)
+  if have_contacts:
+    con_active = jnp.repeat(d.contact.dist < 0, 3)
+    lim_active = (pos[3 * ncon:] < 0) if nlim else jnp.zeros((0,), bool)
+    active = jnp.concatenate([con_active, lim_active])
+    # friction rows have no positional error
+    norm_row = jnp.concatenate([
+        jnp.tile(jnp.asarray([True, False, False]), ncon),
+        jnp.ones((nlim,), bool)])
+  else:
+    active = pos < 0
+    norm_row = jnp.ones((nrow,), bool)
+
+  imp = _impedance(pos, solimp)
+  k, b = _kb(solref, solimp[..., 1])
+  vel = jmat @ d.qvel
+  pos_term = jnp.where(norm_row, jnp.minimum(pos, 0.0), 0.0)
+  aref = -imp * (k * pos_term + b * vel)
+
+  # Delassus operator A = J M⁻¹ Jᵀ and smooth residual a0 = J qacc_smooth
+  minv_jt = jax.scipy.linalg.cho_solve(chol_factor, jmat.T)  # (nv, nrow)
+  amat = jmat @ minv_jt
+  diag = jnp.clip(jnp.diag(amat), 1e-10, None)
+  reg = (1.0 - imp) / imp * diag
+  a0 = jmat @ qacc_smooth
+
+  def project(f):
+    if have_contacts:
+      fc = f[:3 * ncon].reshape(ncon, 3)
+      fn = jnp.maximum(fc[:, 0], 0.0)
+      ft = fc[:, 1:]
+      tsq = jnp.sum(ft * ft, axis=-1)
+      tnorm = jnp.sqrt(jnp.where(tsq < 1e-24, 1.0, tsq))
+      tnorm = jnp.where(tsq < 1e-24, 0.0, tnorm)
+      cap = d.contact.friction * fn
+      scale = jnp.where(tnorm > cap, cap / jnp.maximum(tnorm, 1e-12), 1.0)
+      fc = jnp.concatenate([fn[:, None], ft * scale[:, None]], axis=-1)
+      fl = jnp.maximum(f[3 * ncon:], 0.0)
+      f = jnp.concatenate([fc.reshape(-1), fl])
+    else:
+      f = jnp.maximum(f, 0.0)
+    return jnp.where(active, f, 0.0)
+
+  # projected relaxation on f: residual r(f) = a0 + A f − aref
+  def body(_, f):
+    r = a0 + amat @ f - aref
+    f = f - _RELAX * r / (diag + reg)
+    return project(f)
+
+  f0 = project((aref - a0) / (diag + reg))
+  f = jax.lax.fori_loop(0, _ITERATIONS, body, f0)
+
+  qfrc = jmat.T @ f
+  if have_contacts:
+    contact = d.contact.replace(force=f[:3 * ncon].reshape(ncon, 3))
+    return d.replace(qfrc_constraint=qfrc, contact=contact)
+  return d.replace(qfrc_constraint=qfrc)

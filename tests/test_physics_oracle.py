@@ -1,0 +1,193 @@
+"""Validate the JAX physics engine against the MuJoCo C implementation.
+
+MuJoCo here plays the role of a numerical oracle only (it is the physics the
+reference delegates to); the engine under test shares no code with it.
+Smooth-dynamics quantities (kinematics, inertia, bias, integration) must
+match to f64 precision on contact-free models. Contact behavior uses a
+different (soft, differentiable) solver and is tested for physical sanity
+rather than bit parity.
+"""
+
+import mujoco
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mujoco_mpc_tpu import physics
+from tests import models as tm
+
+SMOOTH_MODELS = {
+    "pendulum": tm.PENDULUM,
+    "cartpole": tm.CARTPOLE,
+    "arm3d": tm.ARM3D,
+    "freebody": tm.FREEBODY,
+}
+
+
+def _setup(xml, seed=0, vel_scale=0.5):
+  mj_model = mujoco.MjModel.from_xml_string(xml)
+  mj_data = mujoco.MjData(mj_model)
+  rng = np.random.RandomState(seed)
+  qpos = mj_model.qpos0.copy()
+  # random perturbation respecting quaternion manifolds
+  for j in range(mj_model.njnt):
+    jt = mj_model.jnt_type[j]
+    adr = mj_model.jnt_qposadr[j]
+    if jt == mujoco.mjtJoint.mjJNT_FREE:
+      qpos[adr:adr + 3] += rng.uniform(-0.3, 0.3, 3)
+      q = rng.randn(4)
+      qpos[adr + 3:adr + 7] = q / np.linalg.norm(q)
+    elif jt == mujoco.mjtJoint.mjJNT_BALL:
+      q = rng.randn(4)
+      qpos[adr:adr + 4] = q / np.linalg.norm(q)
+    else:
+      qpos[adr] += rng.uniform(-0.8, 0.8)
+  qvel = rng.uniform(-vel_scale, vel_scale, mj_model.nv)
+  ctrl = rng.uniform(-1, 1, mj_model.nu)
+  mj_data.qpos[:] = qpos
+  mj_data.qvel[:] = qvel
+  mj_data.ctrl[:] = ctrl
+
+  m = physics.from_mjmodel(mj_model, dtype=jnp.float64)
+  d = physics.make_data(m)
+  d = d.replace(qpos=jnp.asarray(qpos), qvel=jnp.asarray(qvel),
+                ctrl=jnp.asarray(ctrl))
+  return mj_model, mj_data, m, d
+
+
+@pytest.mark.parametrize("name", list(SMOOTH_MODELS))
+def test_kinematics(name):
+  mj_model, mj_data, m, d = _setup(SMOOTH_MODELS[name])
+  mujoco.mj_forward(mj_model, mj_data)
+  d = jax.jit(physics.forward)(m, d)
+  np.testing.assert_allclose(d.xpos, mj_data.xpos, atol=1e-10)
+  np.testing.assert_allclose(d.xipos, mj_data.xipos, atol=1e-10)
+  np.testing.assert_allclose(
+      d.xmat, mj_data.xmat.reshape(-1, 3, 3), atol=1e-10)
+  np.testing.assert_allclose(d.geom_xpos, mj_data.geom_xpos, atol=1e-10)
+  np.testing.assert_allclose(d.site_xpos, mj_data.site_xpos, atol=1e-10)
+  np.testing.assert_allclose(d.subtree_com, mj_data.subtree_com, atol=1e-10)
+
+
+@pytest.mark.parametrize("name", list(SMOOTH_MODELS))
+def test_mass_matrix(name):
+  mj_model, mj_data, m, d = _setup(SMOOTH_MODELS[name])
+  mujoco.mj_forward(mj_model, mj_data)
+  full_m = np.zeros((mj_model.nv, mj_model.nv))
+  mujoco.mj_fullM(mj_model, mj_data, full_m)
+  d = jax.jit(physics.forward)(m, d)
+  np.testing.assert_allclose(d.qM, full_m, atol=1e-9)
+
+
+@pytest.mark.parametrize("name", list(SMOOTH_MODELS))
+def test_bias_forces(name):
+  mj_model, mj_data, m, d = _setup(SMOOTH_MODELS[name])
+  mujoco.mj_forward(mj_model, mj_data)
+  d = jax.jit(physics.forward)(m, d)
+  np.testing.assert_allclose(d.qfrc_bias, mj_data.qfrc_bias, atol=1e-9)
+
+
+@pytest.mark.parametrize("name", list(SMOOTH_MODELS))
+def test_actuation_and_passive(name):
+  mj_model, mj_data, m, d = _setup(SMOOTH_MODELS[name])
+  mujoco.mj_forward(mj_model, mj_data)
+  d = jax.jit(physics.forward)(m, d)
+  np.testing.assert_allclose(
+      d.qfrc_actuator, mj_data.qfrc_actuator, atol=1e-9)
+  np.testing.assert_allclose(
+      d.qfrc_passive, mj_data.qfrc_passive, atol=1e-9)
+
+
+@pytest.mark.parametrize("name", list(SMOOTH_MODELS))
+def test_step_matches_mujoco(name):
+  """Full semi-implicit Euler step parity on smooth models, many steps."""
+  mj_model, mj_data, m, d = _setup(SMOOTH_MODELS[name])
+  step = jax.jit(physics.step)
+  for _ in range(100):
+    mujoco.mj_step(mj_model, mj_data)
+    d = step(m, d)
+  np.testing.assert_allclose(d.qpos, mj_data.qpos, rtol=1e-6, atol=1e-8)
+  np.testing.assert_allclose(d.qvel, mj_data.qvel, rtol=1e-6, atol=1e-8)
+
+
+@pytest.mark.parametrize("name", list(SMOOTH_MODELS))
+def test_sensors(name):
+  mj_model, mj_data, m, d = _setup(SMOOTH_MODELS[name])
+  mujoco.mj_forward(mj_model, mj_data)
+  d = jax.jit(physics.forward)(m, d)
+  sd = np.asarray(d.sensordata)
+  ref = np.asarray(mj_data.sensordata)
+  # quaternions are sign-ambiguous: compare absolute dot for quat sensors
+  for (stype, _, _, adr, dim) in m.sensor_spec:
+    if physics.SensorType(stype) == physics.SensorType.FRAMEQUAT:
+      dot = abs(np.dot(sd[adr:adr + 4], ref[adr:adr + 4]))
+      assert dot > 1 - 1e-10
+    else:
+      np.testing.assert_allclose(sd[adr:adr + dim], ref[adr:adr + dim],
+                                 atol=1e-8)
+
+
+def test_ball_settles_on_plane():
+  """Soft-contact sanity: a dropped ball must settle on the floor."""
+  m = physics.load_model(tm.BALL_ON_PLANE, dtype=jnp.float64)
+  d = physics.make_data(m)
+  step = jax.jit(physics.step)
+  for _ in range(1500):
+    d = step(m, d)
+  z = float(d.qpos[2])
+  assert 0.05 < z < 0.12, f"ball at z={z}, expected resting near 0.1"
+  assert abs(float(d.qvel[2])) < 0.05
+
+
+def test_box_rests_on_plane():
+  m = physics.load_model(tm.BOX_ON_PLANE, dtype=jnp.float64)
+  d = physics.make_data(m)
+  # slight initial tilt and spin
+  d = d.replace(
+      qpos=d.qpos.at[3:7].set(jnp.asarray([0.99, 0.1, 0.05, 0.0])
+                              / np.linalg.norm([0.99, 0.1, 0.05, 0.0])),
+      qvel=d.qvel.at[3].set(0.5))
+  step = jax.jit(physics.step)
+  for _ in range(2000):
+    d = step(m, d)
+  assert 0.03 < float(d.qpos[2]) < 0.1
+  assert float(jnp.linalg.norm(d.qvel)) < 0.2
+
+
+def test_joint_limit_holds():
+  m = physics.load_model(tm.LIMITED, dtype=jnp.float64)
+  d = physics.make_data(m)
+  d = d.replace(qvel=d.qvel.at[0].set(4.0))  # slam into the limit
+  step = jax.jit(physics.step)
+  for _ in range(500):
+    d = step(m, d)
+  assert float(d.qpos[0]) < 0.65  # small soft violation allowed
+
+
+def test_step_is_differentiable():
+  """Gradients flow through the full step, incl. contacts (key TPU design
+  win over the reference's finite differences, SURVEY §2.2)."""
+  m = physics.load_model(tm.BALL_ON_PLANE, dtype=jnp.float64)
+  d = physics.make_data(m)
+
+  def loss(qvel0):
+    dd = d.replace(qvel=qvel0)
+    for _ in range(5):
+      dd = physics.step(m, dd)
+    return jnp.sum(dd.qpos[:3] ** 2)
+
+  g = jax.grad(loss)(d.qvel)
+  assert np.all(np.isfinite(np.asarray(g)))
+  assert float(jnp.abs(g).max()) > 0
+
+
+def test_vmap_batch_rollout():
+  """Candidate-batched stepping (replaces ThreadPool fan-out)."""
+  m = physics.load_model(tm.CARTPOLE, dtype=jnp.float64)
+  d = physics.make_data(m)
+  batch = jax.vmap(lambda q: d.replace(qpos=q))(
+      jnp.tile(d.qpos, (8, 1)) + 0.01 * np.random.RandomState(0).randn(8, 2))
+  stepped = jax.jit(jax.vmap(physics.step, in_axes=(None, 0)))(m, batch)
+  assert stepped.qpos.shape == (8, 2)
+  assert np.all(np.isfinite(np.asarray(stepped.qpos)))
