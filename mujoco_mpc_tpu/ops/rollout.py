@@ -1,0 +1,75 @@
+"""Trajectory rollouts: lax.scan over the physics step with cost recording.
+
+Replaces Trajectory::Rollout + ThreadPool fan-out (mjpc/trajectory.cc:
+92-210, mjpc/planners/sampling/planner.cc:355-393): one rollout is a scan;
+a batch of candidates is a vmap; a multi-chip batch is a shard_map over the
+candidate axis (parallel/mesh.py). Divergence handling follows the
+reference (CheckWarnings → pin return to a huge value so bad samples lose,
+mjpc/trajectory.cc:169-187) via nan→big-cost masking, which is also what
+the MJX prototype does (predictive_sampling.py:107).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from mujoco_mpc_tpu.physics.step import step as _phys_step
+from mujoco_mpc_tpu.physics.types import Data, Model
+from mujoco_mpc_tpu.tasks import base as task_base
+
+# reference kMaxReturnValue: divergence sentinel cost
+MAX_RETURN = 1e6
+
+PolicyFn = Callable[[jax.Array, Data], jax.Array]  # (time, data) -> ctrl
+
+
+class RolloutResult(NamedTuple):
+  total_return: jax.Array  # () mean per-step cost (risk-transformed)
+  costs: jax.Array  # (T,)
+  qpos: jax.Array  # (T, nq) post-step configurations
+  residuals: jax.Array  # (T, nres)
+  final: Data
+
+
+def rollout(task: task_base.Task, d0: Data, policy_fn: PolicyFn,
+            horizon: int, params: Optional[task_base.TaskParams] = None,
+            transition: bool = False) -> RolloutResult:
+  """Roll a policy for `horizon` steps, recording residuals and costs.
+
+  Cost at step t is evaluated on the pre-step state with the step's action
+  applied (matching the MJX prototype's step function; the C++ reference
+  records sensordata inside mj_step — same quantity one pipeline stage
+  apart).
+  """
+  m = task.model
+  tp = params if params is not None else task.params
+
+  def body(d, _):
+    action = policy_fn(d.time, d)
+    d = d.replace(ctrl=action)
+    if transition and task.transition is not None:
+      d = task.transition(m, d, tp.residual_params)
+    d = _phys_step(m, d)
+    res = task.residual(m, d, tp.residual_params)
+    cost = task_base.cost_value(task.spec, tp, res)
+    return d, (cost, d.qpos, res)
+
+  final, (costs, qpos, residuals) = jax.lax.scan(
+      body, d0, None, length=horizon)
+
+  # divergence guard: any nan/inf in the trajectory → huge return
+  costs = jnp.nan_to_num(costs, nan=MAX_RETURN, posinf=MAX_RETURN,
+                         neginf=MAX_RETURN)
+  total = jnp.mean(costs)
+  return RolloutResult(total, costs, qpos, residuals, final)
+
+
+def rollout_return(task: task_base.Task, d0: Data, policy_fn: PolicyFn,
+                   horizon: int,
+                   params: Optional[task_base.TaskParams] = None
+                   ) -> jax.Array:
+  """Scalar-return-only rollout (cheapest form for sampling planners)."""
+  return rollout(task, d0, policy_fn, horizon, params).total_return

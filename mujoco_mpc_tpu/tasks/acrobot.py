@@ -1,0 +1,25 @@
+"""Acrobot swing-up (reference: mjpc/tasks/acrobot)."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from mujoco_mpc_tpu.tasks import base, registry
+
+
+def residual(model, data, params):
+  tip = data.site_xpos[model.site("tip")]
+  target = data.site_xpos[model.site("target")]
+  dist = jnp.linalg.norm(tip - target)
+  return jnp.concatenate([
+      dist[None],
+      data.qvel[:2],
+      data.ctrl[:1],
+  ])
+
+
+@registry.register("Acrobot")
+def make(dtype=jnp.float32) -> base.Task:
+  model, spec, params = registry.load_task_model("acrobot.xml", dtype)
+  return base.Task(name="Acrobot", model=model, spec=spec, params=params,
+                   residual=residual)

@@ -1,0 +1,152 @@
+"""Task system: cost specs from MJCF, pure residual/transition functions.
+
+Keeps the reference's task conventions (SURVEY §2.4, mjpc/task.h:78-173):
+  - cost terms are `<user>` sensors with user="norm weight lo hi params…"
+    parsed into a CostSpec (mjpc/task.cc:203-241);
+  - residual parameters come from `<custom><numeric name="residual_*">`;
+  - risk transform ρ(l,R) = (e^{R·l}−1)/R (mjpc/task.h, BaseResidualFn);
+  - Transition is the task mode/goal FSM — but here it is a *pure jit-safe
+    function* carrying its state in data.userdata / mocap, instead of the
+    reference's host-locked mutation (mjpc/task.cc:141, TransitionLocked),
+    so it runs inside scanned rollouts on device.
+
+Runtime-tunable quantities (weights, norm params, risk, residual params)
+live in the TaskParams pytree → GUI/RPC SetCostWeights-style mutation never
+recompiles.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional, Tuple
+
+from flax import struct
+import jax
+import jax.numpy as jnp
+
+from mujoco_mpc_tpu.ops import norms
+from mujoco_mpc_tpu.physics.types import Data, Model, SensorType
+
+_RISK_TOL = 1e-6
+
+
+@struct.dataclass
+class TaskParams:
+  """Traced, runtime-mutable task quantities."""
+  weights: jax.Array  # (nterm,)
+  norm_params: jax.Array  # (nterm, 2)
+  risk: jax.Array  # ()
+  residual_params: jax.Array  # (nres_param,) residual_* custom numerics
+
+
+@dataclasses.dataclass(frozen=True)
+class CostSpec:
+  """Static structure of the cost: one entry per `<user>` sensor term."""
+  names: Tuple[str, ...]
+  norm_types: Tuple[int, ...]
+  dims: Tuple[int, ...]
+
+  @property
+  def nterm(self) -> int:
+    return len(self.names)
+
+  @property
+  def nresidual(self) -> int:
+    return sum(self.dims)
+
+
+def parse_cost_spec_mj(mj_model, model: Model,
+                       dtype=jnp.float32) -> Tuple[CostSpec, TaskParams]:
+  """CostSpec from a mujoco.MjModel (host load path)."""
+  import mujoco
+
+  names, norm_types, dims, weights, params = [], [], [], [], []
+  for i in range(mj_model.nsensor):
+    if mj_model.sensor_type[i] != mujoco.mjtSensor.mjSENS_USER:
+      break
+    user = mj_model.sensor_user[i]
+    norm = int(user[0])
+    names.append(model.sensor_names[i])
+    norm_types.append(norm)
+    dims.append(int(mj_model.sensor_dim[i]))
+    weights.append(float(user[1]))
+    p = list(user[4:6]) + [0.0, 0.0]
+    params.append((float(p[0]), float(p[1])))
+
+  # residual_* custom numerics → flat parameter vector (reference
+  # Task::SetFeatureParameters, mjpc/task.cc:38-64)
+  res_params = []
+  for key, vals in model.custom_numeric:
+    if key.startswith("residual_select_"):
+      res_params.append(vals[0] if vals else 0.0)
+    elif key.startswith("residual_"):
+      res_params.append(vals[0])
+
+  risk = model.custom("task_risk", 0.0)
+  spec = CostSpec(tuple(names), tuple(norm_types), tuple(dims))
+  tp = TaskParams(
+      weights=jnp.asarray(weights, dtype=dtype),
+      norm_params=jnp.asarray(params, dtype=dtype),
+      risk=jnp.asarray(risk, dtype=dtype),
+      residual_params=jnp.asarray(res_params, dtype=dtype))
+  return spec, tp
+
+
+def cost_terms(spec: CostSpec, tp: TaskParams,
+               residual: jax.Array, weighted: bool = True) -> jax.Array:
+  """Per-term costs (nterm,) from a residual vector (BaseResidualFn::
+  CostTerms, mjpc/task.cc:71-88)."""
+  terms = []
+  shift = 0
+  for k in range(spec.nterm):
+    block = residual[shift:shift + spec.dims[k]]
+    val = norms.norm_value(block, norms.NormType(spec.norm_types[k]),
+                           tp.norm_params[k, 0], tp.norm_params[k, 1])
+    terms.append(tp.weights[k] * val if weighted else val)
+    shift += spec.dims[k]
+  return jnp.stack(terms) if terms else jnp.zeros((0,))
+
+
+def cost_value(spec: CostSpec, tp: TaskParams,
+               residual: jax.Array) -> jax.Array:
+  """Scalar cost with exponential risk transform (mjpc/task.cc:91-110)."""
+  c = jnp.sum(cost_terms(spec, tp, residual))
+  risky = (jnp.exp(tp.risk * c) - 1.0) / jnp.where(
+      jnp.abs(tp.risk) < _RISK_TOL, 1.0, tp.risk)
+  return jnp.where(jnp.abs(tp.risk) < _RISK_TOL, c, risky)
+
+
+ResidualFn = Callable[[Model, Data, jax.Array], jax.Array]
+TransitionFn = Callable[[Model, Data, jax.Array], Data]
+
+
+@struct.dataclass
+class Task:
+  """A control task: model + cost spec + pure residual/transition fns.
+
+  A pytree: `model` and `params` are traced (runtime-tunable, incl. system
+  ID through model parameters); name/spec/functions are static metadata, so
+  a Task passes straight through jit boundaries.
+  """
+  model: Model
+  params: TaskParams
+  name: str = struct.field(pytree_node=False)
+  spec: CostSpec = struct.field(pytree_node=False)
+  residual: ResidualFn = struct.field(pytree_node=False)
+  transition: Optional[TransitionFn] = struct.field(
+      pytree_node=False, default=None)
+
+  def residual_size(self) -> int:
+    return self.spec.nresidual
+
+  def cost(self, data: Data, params: Optional[TaskParams] = None):
+    tp = params if params is not None else self.params
+    r = self.residual(self.model, data, tp.residual_params)
+    return cost_value(self.spec, tp, r)
+
+  def run_transition(self, data: Data,
+                     params: Optional[TaskParams] = None) -> Data:
+    if self.transition is None:
+      return data
+    tp = params if params is not None else self.params
+    return self.transition(self.model, data, tp.residual_params)

@@ -1,0 +1,55 @@
+"""Task registry: name → Task factory (reference GetTasks,
+mjpc/tasks/tasks.cc:46-75)."""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Dict, Optional
+
+import jax.numpy as jnp
+
+from mujoco_mpc_tpu.physics import io as phys_io
+from mujoco_mpc_tpu.tasks import base
+
+_MODEL_DIR = os.path.join(os.path.dirname(__file__), "models")
+
+_FACTORIES: Dict[str, Callable[..., base.Task]] = {}
+
+
+def register(name: str):
+  def wrap(fn):
+    _FACTORIES[name] = fn
+    return fn
+  return wrap
+
+
+def task_names():
+  return sorted(_FACTORIES)
+
+
+def get_task(name: str, dtype=jnp.float32) -> base.Task:
+  if name not in _FACTORIES:
+    raise KeyError(f"unknown task {name!r}; available: {task_names()}")
+  return _FACTORIES[name](dtype=dtype)
+
+
+def load_task_model(xml_name: str, dtype=jnp.float32):
+  """(Model, CostSpec, TaskParams) from a task MJCF in tasks/models/."""
+  import mujoco
+
+  path = os.path.join(_MODEL_DIR, xml_name)
+  mj_model = mujoco.MjModel.from_xml_path(path)
+  model = phys_io.from_mjmodel(mj_model, dtype=dtype)
+  spec, params = base.parse_cost_spec_mj(mj_model, model, dtype=dtype)
+  return model, spec, params
+
+
+# import task modules for registration side effects
+def _register_all():
+  from mujoco_mpc_tpu.tasks import acrobot  # noqa: F401
+  from mujoco_mpc_tpu.tasks import cartpole  # noqa: F401
+  from mujoco_mpc_tpu.tasks import particle  # noqa: F401
+  from mujoco_mpc_tpu.tasks import walker  # noqa: F401
+
+
+_register_all()
