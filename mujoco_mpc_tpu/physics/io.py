@@ -331,9 +331,11 @@ def from_mjmodel(mj, dtype=jnp.float32) -> types.Model:
 
 def make_data(m: types.Model, dtype=None) -> types.Data:
   """Fresh Data at the model reference configuration qpos0."""
+  from mujoco_mpc_tpu.physics import collision
+
   dtype = dtype or m.qpos0.dtype
   z = lambda *shape: jnp.zeros(shape, dtype=dtype)
-  npair = max(len(m.collision_pairs), 1)
+  npair = max(collision.npoints(m), 1)  # contact POINTS, not pairs
   eye3 = jnp.broadcast_to(jnp.eye(3, dtype=dtype), (npair, 3, 3))
   contact = types.Contact(
       dist=jnp.full((npair,), 1e10, dtype=dtype),

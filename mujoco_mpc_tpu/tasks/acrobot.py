@@ -20,6 +20,6 @@ def residual(model, data, params):
 
 @registry.register("Acrobot")
 def make(dtype=jnp.float32) -> base.Task:
-  model, spec, params = registry.load_task_model("acrobot.xml", dtype)
+  model, spec, params, pnames = registry.load_task_model("acrobot.xml", dtype)
   return base.Task(name="Acrobot", model=model, spec=spec, params=params,
-                   residual=residual)
+                   residual=residual, param_names=pnames)

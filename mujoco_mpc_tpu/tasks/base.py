@@ -75,12 +75,11 @@ def parse_cost_spec_mj(mj_model, model: Model,
 
   # residual_* custom numerics → flat parameter vector (reference
   # Task::SetFeatureParameters, mjpc/task.cc:38-64)
-  res_params = []
+  res_params, res_names = [], []
   for key, vals in model.custom_numeric:
-    if key.startswith("residual_select_"):
+    if key.startswith("residual_"):
       res_params.append(vals[0] if vals else 0.0)
-    elif key.startswith("residual_"):
-      res_params.append(vals[0])
+      res_names.append(key)
 
   risk = model.custom("task_risk", 0.0)
   spec = CostSpec(tuple(names), tuple(norm_types), tuple(dims))
@@ -89,7 +88,7 @@ def parse_cost_spec_mj(mj_model, model: Model,
       norm_params=jnp.asarray(params, dtype=dtype),
       risk=jnp.asarray(risk, dtype=dtype),
       residual_params=jnp.asarray(res_params, dtype=dtype))
-  return spec, tp
+  return spec, tp, tuple(res_names)
 
 
 def cost_terms(spec: CostSpec, tp: TaskParams,
@@ -135,6 +134,21 @@ class Task:
   residual: ResidualFn = struct.field(pytree_node=False)
   transition: Optional[TransitionFn] = struct.field(
       pytree_node=False, default=None)
+  # names of residual_* parameters, aligned with TaskParams.residual_params
+  param_names: Tuple[str, ...] = struct.field(pytree_node=False, default=())
+
+  def set_weight(self, name: str, value) -> "Task":
+    """SetCostWeights by term name (reference agent.proto:161-170)."""
+    i = self.spec.names.index(name)
+    return self.replace(params=self.params.replace(
+        weights=self.params.weights.at[i].set(value)))
+
+  def set_parameter(self, name: str, value) -> "Task":
+    """SetTaskParameters by residual_* name (agent.proto:152-159)."""
+    key = name if name.startswith("residual_") else f"residual_{name}"
+    i = self.param_names.index(key)
+    return self.replace(params=self.params.replace(
+        residual_params=self.params.residual_params.at[i].set(value)))
 
   def residual_size(self) -> int:
     return self.spec.nresidual

@@ -30,6 +30,7 @@ def transition(model, data, params):
 
 @registry.register("Particle")
 def make(dtype=jnp.float32) -> base.Task:
-  model, spec, params = registry.load_task_model("particle.xml", dtype)
+  model, spec, params, pnames = registry.load_task_model("particle.xml", dtype)
   return base.Task(name="Particle", model=model, spec=spec, params=params,
-                   residual=residual, transition=transition)
+                   residual=residual, transition=transition,
+                   param_names=pnames)

@@ -34,14 +34,14 @@ def get_task(name: str, dtype=jnp.float32) -> base.Task:
 
 
 def load_task_model(xml_name: str, dtype=jnp.float32):
-  """(Model, CostSpec, TaskParams) from a task MJCF in tasks/models/."""
+  """(Model, CostSpec, TaskParams, param_names) from tasks/models/ MJCF."""
   import mujoco
 
   path = os.path.join(_MODEL_DIR, xml_name)
   mj_model = mujoco.MjModel.from_xml_path(path)
   model = phys_io.from_mjmodel(mj_model, dtype=dtype)
-  spec, params = base.parse_cost_spec_mj(mj_model, model, dtype=dtype)
-  return model, spec, params
+  spec, params, names = base.parse_cost_spec_mj(mj_model, model, dtype=dtype)
+  return model, spec, params, names
 
 
 # import task modules for registration side effects

@@ -26,6 +26,6 @@ def residual(model, data, params):
 
 @registry.register("Walker")
 def make(dtype=jnp.float32) -> base.Task:
-  model, spec, params = registry.load_task_model("walker.xml", dtype)
+  model, spec, params, pnames = registry.load_task_model("walker.xml", dtype)
   return base.Task(name="Walker", model=model, spec=spec, params=params,
-                   residual=residual)
+                   residual=residual, param_names=pnames)
