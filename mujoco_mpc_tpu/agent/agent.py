@@ -26,7 +26,8 @@ import numpy as np
 from mujoco_mpc_tpu.physics import io as phys_io
 from mujoco_mpc_tpu.physics.step import forward as phys_forward
 from mujoco_mpc_tpu.physics.step import step as phys_step
-from mujoco_mpc_tpu.planners import sampling
+from mujoco_mpc_tpu.planners import cross_entropy, gradient, robust, sampling
+from mujoco_mpc_tpu.planners import sample_gradient
 from mujoco_mpc_tpu.tasks import base as task_base
 from mujoco_mpc_tpu.tasks import registry
 
@@ -34,6 +35,17 @@ from mujoco_mpc_tpu.tasks import registry
 _PLANNERS = {
     "sampling": lambda task, horizon: sampling.SamplingPlanner(
         sampling.SamplingConfig.from_task(task, horizon)),
+    "cross_entropy": lambda task, horizon: cross_entropy.CrossEntropyPlanner(
+        cross_entropy.CEMConfig.from_task(task, horizon)),
+    "gradient": lambda task, horizon: gradient.GradientPlanner(
+        gradient.GradientConfig.from_task(task, horizon)),
+    "sample_gradient": lambda task, horizon:
+        sample_gradient.SampleGradientPlanner(
+            sample_gradient.SGConfig.from_task(task, horizon)),
+    "robust": lambda task, horizon: robust.RobustPlanner(
+        sampling.SamplingPlanner(
+            sampling.SamplingConfig.from_task(task, horizon)),
+        robust.RobustConfig()),
 }
 
 

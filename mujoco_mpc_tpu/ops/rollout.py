@@ -73,3 +73,40 @@ def rollout_return(task: task_base.Task, d0: Data, policy_fn: PolicyFn,
                    ) -> jax.Array:
   """Scalar-return-only rollout (cheapest form for sampling planners)."""
   return rollout(task, d0, policy_fn, horizon, params).total_return
+
+
+def noisy_rollout(task: task_base.Task, d0: Data, policy_fn: PolicyFn,
+                  horizon: int, rng: jax.Array,
+                  xfrc_std: float = 0.1, xfrc_rate: float = 0.1,
+                  params: Optional[task_base.TaskParams] = None
+                  ) -> jax.Array:
+  """Domain-randomized rollout: OU applied-force perturbations on bodies.
+
+  Reference Trajectory::NoisyRollout (mjpc/trajectory.cc:147-155), used by
+  the Robust planner to re-score candidates under disturbance. The OU
+  process runs inside the scan; stationary std = xfrc_std · body mass scale.
+  """
+  m = task.model
+  tp = params if params is not None else task.params
+  mass_scale = jnp.concatenate(
+      [jnp.ones((m.nbody, 3), dtype=d0.qpos.dtype),
+       jnp.broadcast_to(m.body_mass[:, None], (m.nbody, 3))], axis=-1)
+
+  def body(carry, key):
+    d, ou = carry
+    eps = jax.random.normal(key, ou.shape, dtype=ou.dtype)
+    ou = (1.0 - xfrc_rate) * ou + jnp.sqrt(
+        xfrc_rate * (2 - xfrc_rate)) * xfrc_std * mass_scale * eps
+    action = policy_fn(d.time, d)
+    d = d.replace(ctrl=action, xfrc_applied=ou)
+    d = _phys_step(m, d)
+    res = task.residual(m, d, tp.residual_params)
+    cost = task_base.cost_value(task.spec, tp, res)
+    return (d, ou), cost
+
+  keys = jax.random.split(rng, horizon)
+  ou0 = jnp.zeros((m.nbody, 6), dtype=d0.qpos.dtype)
+  _, costs = jax.lax.scan(body, (d0, ou0), keys)
+  costs = jnp.nan_to_num(costs, nan=MAX_RETURN, posinf=MAX_RETURN,
+                         neginf=MAX_RETURN)
+  return jnp.mean(costs)

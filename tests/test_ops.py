@@ -1,0 +1,118 @@
+"""Unit tests: norms (values/derivatives), splines, rollouts, cost specs.
+
+Mirrors the reference's numeric unit tests (test/agent/norm_test.cc,
+test/spline/spline_test.cc) with autodiff as the derivative oracle.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mujoco_mpc_tpu.ops import norms, spline
+from mujoco_mpc_tpu.tasks import base as task_base
+from mujoco_mpc_tpu.tasks import registry
+
+ALL_NORMS = [
+    (norms.NormType.QUADRATIC, 0.0, 0.0),
+    (norms.NormType.L22, 0.1, 2.0),
+    (norms.NormType.L2, 0.1, 0.0),
+    (norms.NormType.COSH, 0.5, 0.0),
+    (norms.NormType.POWER_LOSS, 2.5, 0.0),
+    (norms.NormType.SMOOTH_ABS, 0.1, 0.0),
+    (norms.NormType.SMOOTH_ABS2, 0.1, 2.5),
+    (norms.NormType.RECTIFY, 0.2, 0.0),
+]
+
+
+@pytest.mark.parametrize("norm,p,q", ALL_NORMS)
+def test_norm_grad_hess_match_autodiff(norm, p, q):
+  x = jnp.asarray([0.3, -0.7, 1.1])
+  v, g, h = norms.norm_grad_hess(x, norm, p, q)
+  v2 = norms.norm_value(x, norm, p, q)
+  np.testing.assert_allclose(v, v2, rtol=1e-10)
+  g_ad = jax.grad(lambda x: norms.norm_value(x, norm, p, q))(x)
+  np.testing.assert_allclose(g, g_ad, rtol=1e-8, atol=1e-12)
+  h_ad = jax.hessian(lambda x: norms.norm_value(x, norm, p, q))(x)
+  np.testing.assert_allclose(h, h_ad, rtol=1e-6, atol=1e-10)
+
+
+def test_norm_values_nonnegative_at_zero():
+  x = jnp.zeros(3)
+  for norm, p, q in ALL_NORMS:
+    v = float(norms.norm_value(x, norm, p, q))
+    if norm == norms.NormType.RECTIFY:
+      continue  # softplus(0) > 0 by design
+    assert abs(v) < 1e-6, f"{norm} at 0 = {v}"
+
+
+class TestSpline:
+
+  def setup_method(self, _):
+    self.times = jnp.asarray([0.0, 1.0, 2.0, 4.0])
+    self.values = jnp.asarray([[0.0], [1.0], [0.0], [2.0]])
+
+  def test_zero_holds_lower_node(self):
+    v = spline.sample(self.times, self.values, 1.5, spline.Interp.ZERO)
+    np.testing.assert_allclose(v, [1.0])
+
+  def test_linear_interpolates(self):
+    v = spline.sample(self.times, self.values, 0.25, spline.Interp.LINEAR)
+    np.testing.assert_allclose(v, [0.25])
+    v = spline.sample(self.times, self.values, 3.0, spline.Interp.LINEAR)
+    np.testing.assert_allclose(v, [1.0])
+
+  def test_clamps_outside_range(self):
+    for interp in spline.Interp:
+      lo = spline.sample(self.times, self.values, -1.0, interp)
+      hi = spline.sample(self.times, self.values, 9.0, interp)
+      np.testing.assert_allclose(lo, [0.0])
+      np.testing.assert_allclose(hi, [2.0])
+
+  def test_cubic_passes_through_nodes(self):
+    for i, t in enumerate([0.0, 1.0, 2.0, 4.0]):
+      v = spline.sample(self.times, self.values, t, spline.Interp.CUBIC)
+      np.testing.assert_allclose(v, self.values[i], atol=1e-6)
+
+  def test_cubic_smoother_than_linear(self):
+    # halfway between equal-spaced nodes the Hermite spline overshoots
+    # toward the trend, unlike linear
+    v_lin = spline.sample(self.times, self.values, 0.5,
+                          spline.Interp.LINEAR)
+    v_cub = spline.sample(self.times, self.values, 0.5,
+                          spline.Interp.CUBIC)
+    assert abs(float(v_cub[0]) - float(v_lin[0])) > 1e-4
+
+  def test_differentiable_wrt_values(self):
+    g = jax.grad(lambda v: jnp.sum(
+        spline.sample(self.times, v, 1.3, spline.Interp.CUBIC)))(self.values)
+    assert np.all(np.isfinite(np.asarray(g)))
+    assert float(jnp.abs(g).sum()) > 0
+
+
+def test_cost_spec_parsing():
+  task = registry.get_task("Cartpole")
+  assert task.spec.names == ("Vertical", "Centered", "Velocity", "Control")
+  assert task.spec.norm_types == (6, 6, 0, 0)
+  assert task.spec.nresidual == 4
+  np.testing.assert_allclose(task.params.weights, [10.0, 10.0, 0.1, 0.1])
+  # residual params from custom numerics
+  assert task.param_names == ("residual_Goal",)
+
+
+def test_risk_transform():
+  task = registry.get_task("Cartpole")
+  r = jnp.asarray([0.5, 0.2, 0.1, 0.0])
+  c0 = task_base.cost_value(task.spec, task.params, r)
+  risky = task.params.replace(risk=jnp.asarray(0.5))
+  c1 = task_base.cost_value(task.spec, risky, r)
+  expected = (jnp.exp(0.5 * c0) - 1.0) / 0.5
+  np.testing.assert_allclose(c1, expected, rtol=1e-6)
+
+
+def test_weight_and_parameter_mutation():
+  task = registry.get_task("Cartpole")
+  t2 = task.set_weight("Velocity", 0.7)
+  assert float(t2.params.weights[2]) == pytest.approx(0.7)
+  t3 = task.set_parameter("Goal", 1.5)
+  assert float(t3.params.residual_params[0]) == pytest.approx(1.5)
