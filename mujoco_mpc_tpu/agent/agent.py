@@ -26,7 +26,8 @@ import numpy as np
 from mujoco_mpc_tpu.physics import io as phys_io
 from mujoco_mpc_tpu.physics.step import forward as phys_forward
 from mujoco_mpc_tpu.physics.step import step as phys_step
-from mujoco_mpc_tpu.planners import cross_entropy, gradient, robust, sampling
+from mujoco_mpc_tpu.planners import (cross_entropy, gradient, ilqg, ilqs,
+                                     robust, sampling)
 from mujoco_mpc_tpu.planners import sample_gradient
 from mujoco_mpc_tpu.tasks import base as task_base
 from mujoco_mpc_tpu.tasks import registry
@@ -46,6 +47,10 @@ _PLANNERS = {
         sampling.SamplingPlanner(
             sampling.SamplingConfig.from_task(task, horizon)),
         robust.RobustConfig()),
+    "ilqg": lambda task, horizon: ilqg.ILQGPlanner(
+        ilqg.ILQGConfig.from_task(task, horizon)),
+    "ilqs": lambda task, horizon: ilqs.ILQSPlanner(
+        ilqs.ILQSConfig.from_task(task, horizon)),
 }
 
 
@@ -150,7 +155,7 @@ class Agent:
     with self._lock:
       task, data, policy = self.task, self.data, self.policy
     new_policy, info = self._jit_opt(task, policy, data, key)
-    jax.block_until_ready(new_policy.values)
+    jax.block_until_ready(new_policy)
     with self._lock:
       self.previous_policy = self.policy
       self.policy = new_policy

@@ -1,0 +1,307 @@
+"""iLQG planner: autodiff linearization, Riccati scan, boxQP control limits.
+
+Reference (mjpc/planners/ilqg/): FD model Jacobians (mjd_transitionFD via
+model_derivatives.cc) → Riccati backward pass with regularization
+(backward_pass.cc:65-253) → boxQP for control limits (boxqp.h:28) →
+parallel line search → time-indexed affine feedback policy
+u = ū + α·k + K(x−x̄) (ilqg/policy.cc:82-140).
+
+TPU design decisions:
+  - dynamics Jacobians via one vmapped jax.jacfwd over the whole horizon
+    (T·(nx+nu) batched step evaluations on the MXU/VPU) instead of the
+    reference's per-timestep FD threads;
+  - cost expansion is Gauss-Newton from residual Jacobians + closed-form
+    norm derivatives (PSD by construction, as in cost_derivatives.cc);
+  - the Riccati recursion is a lax.scan (sequential by nature, small
+    matrices) with fixed Levenberg regularization;
+  - boxQP is a fixed-iteration masked projected Newton (no data-dependent
+    loop exit, jit/vmap-friendly);
+  - line search over α is a vmap of rollouts, winner by total return.
+
+Limitation (round 1): models whose qpos has no quaternions (nq == nv);
+manifold-aware state differences come with the estimator work.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+from flax import struct
+import jax
+import jax.numpy as jnp
+
+from mujoco_mpc_tpu.ops import norms
+from mujoco_mpc_tpu.ops.rollout import MAX_RETURN
+from mujoco_mpc_tpu.physics.step import step as phys_step
+from mujoco_mpc_tpu.planners.base import PlanInfo
+from mujoco_mpc_tpu.physics.types import Data
+from mujoco_mpc_tpu.tasks.base import Task, TaskParams
+
+
+@struct.dataclass
+class ILQGPolicy:
+  """Time-indexed affine feedback policy."""
+  xs: jax.Array  # (T+1, nx) nominal states
+  us: jax.Array  # (T, nu) nominal actions
+  gains: jax.Array  # (T, nu, nx) feedback K
+  t0: jax.Array  # () time of step 0
+  feedback_scale: jax.Array  # ()
+
+
+@dataclasses.dataclass(frozen=True)
+class ILQGConfig:
+  horizon: int = 100
+  num_alphas: int = 8  # parallel line-search scales
+  reg: float = 1e-5  # Levenberg regularization on V_xx
+  feedback_scale: float = 1.0
+
+  @classmethod
+  def from_task(cls, task: Task, horizon_steps: Optional[int] = None):
+    m = task.model
+    dt = float(m.custom("agent_timestep", float(m.opt.timestep)))
+    hor = horizon_steps or int(
+        round(float(m.custom("agent_horizon", 1.0)) / dt))
+    return cls(horizon=hor)
+
+
+def boxqp(quu: jax.Array, qu: jax.Array, lo: jax.Array, hi: jax.Array,
+          iters: int = 8) -> Tuple[jax.Array, jax.Array]:
+  """min ½δᵀQδ + qᵀδ  s.t. lo ≤ δ ≤ hi  via masked projected Newton.
+
+  Reference boxqp.h:28 (Tassa's projected-Newton boxQP), with a fixed
+  iteration count and mask algebra instead of dynamic free-set resizing.
+  Returns (δ*, free mask).
+  """
+  n = qu.shape[0]
+  eye = jnp.eye(n, dtype=qu.dtype)
+
+  def body(_, carry):
+    delta, _ = carry
+    grad = qu + quu @ delta
+    at_lo = jnp.logical_and(delta <= lo + 1e-9, grad > 0)
+    at_hi = jnp.logical_and(delta >= hi - 1e-9, grad < 0)
+    clamped = jnp.logical_or(at_lo, at_hi)
+    free = jnp.logical_not(clamped).astype(qu.dtype)
+    fmask = jnp.outer(free, free)
+    mat = quu * fmask + eye * (1.0 - free) + 1e-8 * eye
+    rhs = -(grad * free)
+    step = jnp.linalg.solve(mat, rhs)
+    delta = jnp.clip(delta + step * free, lo, hi)
+    return delta, free
+
+  delta0 = jnp.clip(jnp.zeros_like(qu), lo, hi)
+  delta, free = jax.lax.fori_loop(0, iters, body,
+                                  (delta0, jnp.ones_like(qu)))
+  return delta, free
+
+
+class ILQGPlanner:
+  def __init__(self, config: ILQGConfig):
+    self.config = config
+
+  # --------------------------------------------------------------- helpers
+  def _check(self, task: Task):
+    m = task.model
+    if m.nq != m.nv:
+      raise NotImplementedError(
+          "iLQG round-1 supports quaternion-free models (nq == nv); "
+          f"got nq={m.nq} nv={m.nv}")
+
+  def _state(self, d: Data) -> jax.Array:
+    return jnp.concatenate([d.qpos, d.qvel])
+
+  def _step_xu(self, task: Task, d0: Data, x: jax.Array, u: jax.Array,
+               t: jax.Array) -> jax.Array:
+    """x' = f(x, u) through the full physics step."""
+    m = task.model
+    nv = m.nv
+    d = d0.replace(qpos=x[:nv], qvel=x[nv:], ctrl=u, time=t)
+    d = phys_step(m, d)
+    return jnp.concatenate([d.qpos, d.qvel])
+
+  def _cost_expansion(self, task: Task, tp: TaskParams, d0: Data,
+                      x: jax.Array, u: jax.Array, t: jax.Array):
+    """Gauss-Newton expansion of the per-step cost about (x, u)."""
+    m = task.model
+    nv = m.nv
+
+    def res_fn(xu):
+      d = d0.replace(qpos=xu[:nv], qvel=xu[nv:2 * nv], ctrl=xu[2 * nv:],
+                     time=t)
+      # residuals read kinematic quantities: recompute them
+      from mujoco_mpc_tpu.physics import kinematics, dynamics
+      d = kinematics.kinematics(m, d)
+      d = dynamics.com_pos(m, d)
+      d, _ = dynamics.com_vel(m, d)
+      return task.residual(m, d, tp.residual_params)
+
+    xu = jnp.concatenate([x, u])
+    r = res_fn(xu)
+    jr = jax.jacfwd(res_fn)(xu)  # (nres, nx+nu)
+
+    nxu = xu.shape[0]
+    grad = jnp.zeros(nxu, dtype=x.dtype)
+    hess = jnp.zeros((nxu, nxu), dtype=x.dtype)
+    shift = 0
+    for k in range(task.spec.nterm):
+      dim = task.spec.dims[k]
+      blk = r[shift:shift + dim]
+      jb = jr[shift:shift + dim]
+      _, g, h = norms.norm_grad_hess(
+          blk, norms.NormType(task.spec.norm_types[k]),
+          tp.norm_params[k, 0], tp.norm_params[k, 1])
+      w = tp.weights[k]
+      grad = grad + w * (jb.T @ g)
+      hess = hess + w * (jb.T @ h @ jb)
+      shift += dim
+    return grad, hess
+
+  # ------------------------------------------------------------------- API
+  def init(self, task: Task) -> ILQGPolicy:
+    self._check(task)
+    m = task.model
+    T = self.config.horizon
+    nx = 2 * m.nv
+    dtype = m.qpos0.dtype
+    mid = 0.5 * (m.actuator_ctrlrange[:, 0] + m.actuator_ctrlrange[:, 1])
+    mid = jnp.where(m.actuator_ctrllimited, mid, 0.0)
+    return ILQGPolicy(
+        xs=jnp.zeros((T + 1, nx), dtype=dtype),
+        us=jnp.tile(mid, (T, 1)),
+        gains=jnp.zeros((T, m.nu, nx), dtype=dtype),
+        t0=jnp.zeros((), dtype=dtype),
+        feedback_scale=jnp.asarray(self.config.feedback_scale, dtype=dtype))
+
+  def action(self, task: Task, policy: ILQGPolicy, data: Data) -> jax.Array:
+    """u = ū_t + K_t (x − x̄_t), zero-order hold over the time index
+    (reference ilqg/policy.cc:82-140)."""
+    m = task.model
+    dt = m.opt.timestep
+    T = self.config.horizon
+    idx = jnp.clip(jnp.floor((data.time - policy.t0) / dt).astype(jnp.int32),
+                   0, T - 1)
+    x = self._state(data)
+    u = policy.us[idx] + policy.feedback_scale * (
+        policy.gains[idx] @ (x - policy.xs[idx]))
+    return jnp.where(m.actuator_ctrllimited,
+                     jnp.clip(u, m.actuator_ctrlrange[:, 0],
+                              m.actuator_ctrlrange[:, 1]), u)
+
+  def _rollout_feedback(self, task: Task, tp: TaskParams, data: Data,
+                        xs_ref, us_ref, gains, alpha, k_ff):
+    """Forward pass with u_t = ū_t + α·k_t + K_t (x − x̄_t)."""
+    m = task.model
+    nv = m.nv
+    lo, hi = m.actuator_ctrlrange[:, 0], m.actuator_ctrlrange[:, 1]
+
+    from mujoco_mpc_tpu.tasks.base import cost_value
+
+    def body(d, inp):
+      x_ref, u_ref, gain, kf = inp
+      x = jnp.concatenate([d.qpos, d.qvel])
+      u = u_ref + alpha * kf + gain @ (x - x_ref)
+      u = jnp.where(m.actuator_ctrllimited, jnp.clip(u, lo, hi), u)
+      d = d.replace(ctrl=u)
+      d = phys_step(m, d)
+      res = task.residual(m, d, tp.residual_params)
+      c = cost_value(task.spec, tp, res)
+      return d, (c, jnp.concatenate([d.qpos, d.qvel]), u)
+
+    final, (costs, xs, us) = jax.lax.scan(
+        body, data, (xs_ref[:-1], us_ref, gains, k_ff))
+    costs = jnp.nan_to_num(costs, nan=MAX_RETURN, posinf=MAX_RETURN,
+                           neginf=MAX_RETURN)
+    x0 = jnp.concatenate([data.qpos, data.qvel])
+    xs_full = jnp.concatenate([x0[None], xs])
+    return jnp.mean(costs), xs_full, us
+
+  def optimize(self, task: Task, policy: ILQGPolicy, data: Data,
+               rng: jax.Array, params: Optional[TaskParams] = None
+               ) -> Tuple[ILQGPolicy, PlanInfo]:
+    del rng
+    self._check(task)
+    cfg = self.config
+    m = task.model
+    tp = params if params is not None else task.params
+    T = cfg.horizon
+    nv, nu = m.nv, m.nu
+    nx = 2 * nv
+    dt = m.opt.timestep
+
+    # ---- nominal rollout with current feedback policy (Iteration,
+    #      ilqg/planner.cc:377) — also re-anchors the time index
+    ret0, xs, us = self._rollout_feedback(
+        task, tp, data, policy.xs, policy.us, policy.gains,
+        jnp.zeros((), dtype=data.qpos.dtype),
+        jnp.zeros_like(policy.us))
+
+    # ---- derivatives along the nominal (model_derivatives.cc:45 → one
+    #      vmapped jacfwd over time)
+    ts = data.time + dt * jnp.arange(T, dtype=data.qpos.dtype)
+
+    def dyn_jac(x, u, t):
+      fx = jax.jacfwd(lambda xx: self._step_xu(task, data, xx, u, t))(x)
+      fu = jax.jacfwd(lambda uu: self._step_xu(task, data, x, uu, t))(u)
+      return fx, fu
+
+    A, B = jax.vmap(dyn_jac)(xs[:-1], us, ts)  # (T,nx,nx), (T,nx,nu)
+    cg, ch = jax.vmap(
+        lambda x, u, t: self._cost_expansion(task, tp, data, x, u, t)
+    )(xs[:-1], us, ts)  # (T, nx+nu), (T, nx+nu, nx+nu)
+
+    cx, cu = cg[:, :nx], cg[:, nx:]
+    cxx = ch[:, :nx, :nx]
+    cuu = ch[:, nx:, nx:]
+    cux = ch[:, nx:, :nx]
+
+    lo = m.actuator_ctrlrange[:, 0]
+    hi = m.actuator_ctrlrange[:, 1]
+    eye = jnp.eye(nx, dtype=xs.dtype)
+    reg = cfg.reg
+
+    # ---- Riccati backward scan with boxQP (backward_pass.cc:65-253)
+    def riccati(carry, inp):
+      vx, vxx = carry
+      a, b, cx_t, cu_t, cxx_t, cuu_t, cux_t, u_t = inp
+      vxx_reg = vxx + reg * eye
+      qx = cx_t + a.T @ vx
+      qu = cu_t + b.T @ vx
+      qxx = cxx_t + a.T @ vxx @ a
+      quu = cuu_t + b.T @ vxx_reg @ b + 1e-6 * jnp.eye(nu, dtype=xs.dtype)
+      qux = cux_t + b.T @ vxx_reg @ a
+      dlo = jnp.where(m.actuator_ctrllimited, lo - u_t,
+                      jnp.full_like(u_t, -1e9))
+      dhi = jnp.where(m.actuator_ctrllimited, hi - u_t,
+                      jnp.full_like(u_t, 1e9))
+      k_ff, free = boxqp(quu, qu, dlo, dhi)
+      # gains on the free subspace: K = -Quu⁻¹ Qux, clamped rows zeroed
+      fmask = jnp.outer(free, free)
+      quu_f = quu * fmask + jnp.eye(nu, dtype=xs.dtype) * (1.0 - free)
+      kmat = -jnp.linalg.solve(quu_f, qux * free[:, None])
+      vx_new = (qx + kmat.T @ quu @ k_ff + kmat.T @ qu + qux.T @ k_ff)
+      vxx_new = (qxx + kmat.T @ quu @ kmat + kmat.T @ qux + qux.T @ kmat)
+      vxx_new = 0.5 * (vxx_new + vxx_new.T)
+      return (vx_new, vxx_new), (k_ff, kmat)
+
+    v0 = (jnp.zeros(nx, dtype=xs.dtype), jnp.zeros((nx, nx), dtype=xs.dtype))
+    _, (k_ffs, gains) = jax.lax.scan(
+        riccati, v0, (A, B, cx, cu, cxx, cuu, cux, us), reverse=True)
+
+    # ---- parallel line search over feedforward scale (planner.h:120-124)
+    alphas = jnp.concatenate([
+        jnp.zeros((1,), dtype=xs.dtype),
+        jnp.exp(jnp.linspace(jnp.log(1e-3), jnp.log(1.0),
+                             cfg.num_alphas - 1)).astype(xs.dtype)])
+
+    def try_alpha(alpha):
+      ret, xs_a, us_a = self._rollout_feedback(
+          task, tp, data, xs, us, gains, alpha, k_ffs)
+      return ret, xs_a, us_a
+
+    rets, xs_all, us_all = jax.vmap(try_alpha)(alphas)
+    best = jnp.argmin(rets)
+    new_policy = policy.replace(
+        xs=xs_all[best], us=us_all[best], gains=gains, t0=data.time)
+    info = PlanInfo(costs=rets, winner=best, best_return=rets[best])
+    return new_policy, info

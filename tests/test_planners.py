@@ -136,3 +136,67 @@ def test_sharded_matches_unsharded_semantics():
       first = float(info.costs[0])  # nominal return at iteration 0
   assert float(info.best_return) < first
   assert info.costs.shape == (32,)
+
+
+def test_ilqg_improves_and_beats_zero_policy():
+  from mujoco_mpc_tpu.planners import ilqg as IL
+  task = registry.get_task("Particle")
+  planner = IL.ILQGPlanner(IL.ILQGConfig(horizon=HORIZON))
+  d = _offset_start(task)
+  policy = planner.init(task)
+  opt = jax.jit(planner.optimize)
+  returns = []
+  for i in range(5):
+    policy, info = opt(task, policy, d, jax.random.PRNGKey(i))
+    returns.append(float(info.best_return))
+  # monotone non-increasing best return, strong improvement
+  assert all(b <= a + 1e-5 for a, b in zip(returns, returns[1:]))
+  assert returns[-1] < returns[0] * 0.95
+  assert returns[-1] < 0.75
+
+
+def test_ilqg_feedback_gains_nonzero():
+  from mujoco_mpc_tpu.planners import ilqg as IL
+  task = registry.get_task("Particle")
+  planner = IL.ILQGPlanner(IL.ILQGConfig(horizon=HORIZON))
+  d = _offset_start(task)
+  policy = planner.init(task)
+  policy, _ = jax.jit(planner.optimize)(task, policy, d,
+                                        jax.random.PRNGKey(0))
+  assert float(jnp.abs(policy.gains).max()) > 1e-4
+
+
+def test_ilqg_rejects_quaternion_models():
+  from mujoco_mpc_tpu.planners import ilqg as IL
+  import pytest as _pytest
+  task = registry.get_task("Walker")  # nq==nv, fine
+  IL.ILQGPlanner(IL.ILQGConfig(horizon=8)).init(task)
+  # a free-joint model has nq != nv
+  from mujoco_mpc_tpu import physics
+  from tests import models as tm
+  from mujoco_mpc_tpu.tasks import base as tb
+  m = physics.load_model(tm.FREEBODY)
+  fake = tb.Task(model=m, params=registry.get_task("Particle").params,
+                 name="free", spec=registry.get_task("Particle").spec,
+                 residual=lambda m, d, p: jnp.zeros(6))
+  with _pytest.raises(NotImplementedError):
+    IL.ILQGPlanner(IL.ILQGConfig(horizon=8)).init(fake)
+
+
+def test_ilqs_picks_winner():
+  from mujoco_mpc_tpu.planners import ilqs as IS
+  from mujoco_mpc_tpu.planners import ilqg as IL
+  task = registry.get_task("Particle")
+  cfg = IS.ILQSConfig(
+      sampling=sampling.SamplingConfig(num_trajectories=16, spline_points=5,
+                                       horizon=HORIZON),
+      ilqg=IL.ILQGConfig(horizon=HORIZON))
+  planner = IS.ILQSPlanner(cfg)
+  d = _offset_start(task)
+  policy = planner.init(task)
+  opt = jax.jit(planner.optimize)
+  for i in range(3):
+    policy, info = opt(task, policy, d, jax.random.PRNGKey(i))
+  assert float(info.best_return) < 0.8
+  u = planner.action(task, policy, d)
+  assert u.shape == (task.model.nu,)
