@@ -1,0 +1,184 @@
+"""Direct trajectory optimizer: Gauss-Newton over configurations q_{0:T}.
+
+Reference (mjpc/direct/direct.{h,cc}, math in docs/DIRECT.md:12-60):
+decision variables are configurations; velocities/accelerations come from
+finite differences of q; the cost is sensor-residual norms plus a quadratic
+inverse-dynamics force residual; per-timestep mjd_inverseFD Jacobians are
+assembled into a banded Hessian factored with mju_cholFactorBand
+(direct.cc:2342-2372) under a line/curve search (Optimize,
+direct.cc:2109-2338).
+
+TPU re-design:
+  - inverse dynamics is exact and differentiable (physics.step.inverse), so
+    the per-timestep Jacobian blocks are one vmapped jacfwd over the window
+    — no FD threads (direct.cc:1678-1781 fan-out);
+  - residual r_t couples (q_{t-1}, q_t, q_{t+1}); the Gauss-Newton Hessian
+    is block-pentadiagonal. It is assembled from the 3×3 block outer
+    products and solved densely — on TPU a dense Cholesky of (T·nv)² runs
+    on the MXU and beats a scalar band factorization for every practical
+    window (kMaxFilterHistory=64 → ≤ 64·nv dims); a scan-based block
+    factorization is the planned long-horizon path;
+  - tangent-space retractions make quaternion configurations exact.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from mujoco_mpc_tpu.estimators import base
+from mujoco_mpc_tpu.physics import io as phys_io
+from mujoco_mpc_tpu.physics.step import forward as phys_forward
+from mujoco_mpc_tpu.physics.step import inverse as phys_inverse
+from mujoco_mpc_tpu.physics.types import Model
+
+
+@dataclasses.dataclass(frozen=True)
+class DirectConfig:
+  horizon: int  # number of configurations T (window length)
+  max_iterations: int = 10
+  num_steps: int = 6  # backtracking line-search candidates
+  sensor_weight: float = 1.0
+  force_weight: float = 1.0
+  regularization: float = 1e-8
+
+
+class DirectResult(NamedTuple):
+  qpos: jax.Array  # (T, nq) optimized configurations
+  cost: jax.Array  # () final cost
+  cost_initial: jax.Array
+  iterations: int
+
+
+class Direct:
+  """Batched Gauss-Newton smoother / system-ID optimizer."""
+
+  def __init__(self, model: Model, config: DirectConfig,
+               sensor_start: int = 0, nsensordata: Optional[int] = None):
+    self.model = model
+    self.config = config
+    self.sensor_start = sensor_start
+    self.ns = (nsensordata if nsensordata is not None
+               else model.nsensordata - sensor_start)
+    self._template = phys_io.make_data(model)
+
+  # ------------------------------------------------------------- residuals
+  def _window_residual(self, q_prev, q_cur, q_next, sensor_target, ctrl):
+    """Residual at one interior timestep from its 3-configuration stencil.
+
+    [sensor residual; force residual], with v/a from finite differences of
+    the configurations (reference direct.cc configuration evaluation).
+    """
+    m = self.model
+    h = m.opt.timestep
+    v_cur = base.local_diff(m, q_cur, q_prev) / h
+    v_next = base.local_diff(m, q_next, q_cur) / h
+    acc = (v_next - v_cur) / h
+
+    d = self._template.replace(qpos=q_cur, qvel=v_cur, qacc=acc, ctrl=ctrl)
+    # sensor prediction (position/velocity stages)
+    df = phys_forward(m, d)
+    y = df.sensordata[self.sensor_start:self.sensor_start + self.ns]
+    r_sensor = y - sensor_target
+    # inverse dynamics: applied generalized force consistent with (q, v, a)
+    f = phys_inverse(m, d)
+    f = f - df.qfrc_actuator  # explained by known actuation
+    cfg = self.config
+    return jnp.concatenate([
+        jnp.sqrt(cfg.sensor_weight) * r_sensor,
+        jnp.sqrt(cfg.force_weight) * f,
+    ])
+
+  def _total_cost(self, qs, sensors, ctrls):
+    def one(q3, s, u):
+      r = self._window_residual(q3[0], q3[1], q3[2], s, u)
+      return 0.5 * jnp.sum(r * r)
+
+    stencil = jnp.stack([qs[:-2], qs[1:-1], qs[2:]], axis=1)
+    costs = jax.vmap(one)(stencil, sensors[1:-1], ctrls[1:-1])
+    return jnp.sum(costs)
+
+  # --------------------------------------------------------------- GN step
+  def _gauss_newton_step(self, qs, sensors, ctrls):
+    m = self.model
+    T = self.config.horizon
+    nv = m.nv
+    ntot = T * nv
+
+    def res_of_tangent(q3, s, u, dz):
+      """Residual as a function of the 3 stencil tangents (3·nv,)."""
+      qp = base.retract(m, q3[0], dz[:nv])
+      qc = base.retract(m, q3[1], dz[nv:2 * nv])
+      qn = base.retract(m, q3[2], dz[2 * nv:])
+      return self._window_residual(qp, qc, qn, s, u)
+
+    stencil = jnp.stack([qs[:-2], qs[1:-1], qs[2:]], axis=1)
+    dz0 = jnp.zeros((3 * nv,), dtype=qs.dtype)
+
+    def blocks(q3, s, u):
+      r = res_of_tangent(q3, s, u, dz0)
+      jac = jax.jacfwd(lambda dz: res_of_tangent(q3, s, u, dz))(dz0)
+      return r, jac  # (nr,), (nr, 3nv)
+
+    rs, jacs = jax.vmap(blocks)(stencil, sensors[1:-1], ctrls[1:-1])
+
+    # assemble H = JᵀJ (block-pentadiagonal) and g = Jᵀr into dense ntot²
+    hess = jnp.zeros((ntot, ntot), dtype=qs.dtype)
+    grad = jnp.zeros((ntot,), dtype=qs.dtype)
+    jtj = jnp.einsum("tri,trj->tij", jacs, jacs)  # (T-2, 3nv, 3nv)
+    jtr = jnp.einsum("tri,tr->ti", jacs, rs)  # (T-2, 3nv)
+
+    def scatter(carry, inp):
+      hess, grad = carry
+      t, blk, gb = inp
+      hess = jax.lax.dynamic_update_slice(
+          hess, jax.lax.dynamic_slice(
+              hess, (t * nv, t * nv), (3 * nv, 3 * nv)) + blk,
+          (t * nv, t * nv))
+      grad = jax.lax.dynamic_update_slice(
+          grad, jax.lax.dynamic_slice(grad, (t * nv,), (3 * nv,)) + gb,
+          (t * nv,))
+      return (hess, grad), None
+
+    ts = jnp.arange(T - 2)
+    (hess, grad), _ = jax.lax.scan(scatter, (hess, grad), (ts, jtj, jtr))
+    hess = hess + self.config.regularization * jnp.eye(ntot, dtype=qs.dtype)
+
+    delta = -jnp.linalg.solve(hess, grad)
+    return delta.reshape(T, nv)
+
+  # ------------------------------------------------------------------- API
+  def optimize(self, qpos_init: jax.Array, sensors: jax.Array,
+               ctrls: Optional[jax.Array] = None) -> DirectResult:
+    """Smooth the window: qpos_init (T, nq), sensors (T, ns) → optimum."""
+    m = self.model
+    cfg = self.config
+    T = cfg.horizon
+    if ctrls is None:
+      ctrls = jnp.zeros((T, m.nu), dtype=qpos_init.dtype)
+
+    cost0 = self._total_cost(qpos_init, sensors, ctrls)
+
+    def iteration(qs, _):
+      delta = self._gauss_newton_step(qs, sensors, ctrls)
+      steps = 2.0 ** -jnp.arange(cfg.num_steps, dtype=qs.dtype)
+
+      def try_step(a):
+        qs_a = jax.vmap(lambda q, dq: base.retract(m, q, a * dq))(qs, delta)
+        return self._total_cost(qs_a, sensors, ctrls), qs_a
+
+      costs, qs_all = jax.vmap(try_step)(steps)
+      cur = self._total_cost(qs, sensors, ctrls)
+      best = jnp.argmin(costs)
+      improved = costs[best] < cur
+      qs_new = jax.tree.map(
+          lambda a, b: jnp.where(improved, a, b), qs_all[best], qs)
+      return qs_new, jnp.minimum(costs[best], cur)
+
+    qs, costs = jax.lax.scan(iteration, qpos_init, None,
+                             length=cfg.max_iterations)
+    return DirectResult(qpos=qs, cost=costs[-1], cost_initial=cost0,
+                        iterations=cfg.max_iterations)
