@@ -166,12 +166,63 @@ def xfrc_accumulate(m: Model, d: Data) -> jax.Array:
   return jnp.sum(jnp.where(m.dof_body_mask, proj, 0.0), axis=1)
 
 
+def _fluid_forces(m: Model, d: Data) -> jax.Array:
+  """Viscous + quadratic fluid drag per body (MuJoCo inertia-box model).
+
+  Each body is modeled as its equivalent inertia box; viscosity gives
+  Stokes-like linear drag on the equivalent sphere, density gives
+  anisotropic quadratic drag against the box faces. This is the model the
+  swimmer task's propulsion depends on (reference models set
+  <option viscosity/density>).
+  """
+  dtype = d.qpos.dtype
+  # equivalent box half-dims from principal inertia: a² = 3(Iy+Iz−Ix)/(2m)
+  mass = jnp.maximum(m.body_mass, 1e-12)
+  ix, iy, iz = (m.body_inertia[:, 0], m.body_inertia[:, 1],
+                m.body_inertia[:, 2])
+  box = jnp.sqrt(jnp.maximum(jnp.stack([
+      1.5 * (iy + iz - ix), 1.5 * (iz + ix - iy), 1.5 * (ix + iy - iz),
+  ], axis=-1), 1e-12) / mass[:, None])  # (nbody, 3) half-dims
+
+  # body-local velocity at the CoM
+  omega_w = d.cvel[:, :3]
+  vlin_w = (d.cvel[:, 3:] + jnp.cross(omega_w, d.xipos) -
+            m.opt.wind[None, :])
+  rot = d.ximat  # columns: local axes in world
+  omega = jnp.einsum("bij,bj->bi", rot.transpose(0, 2, 1), omega_w)
+  vlin = jnp.einsum("bij,bj->bi", rot.transpose(0, 2, 1), vlin_w)
+
+  # viscosity: equivalent-sphere Stokes drag
+  diam = 2.0 * jnp.mean(box, axis=-1)
+  f_visc = -3.0 * jnp.pi * m.opt.viscosity * diam[:, None] * vlin
+  t_visc = -jnp.pi * (diam ** 3)[:, None] * m.opt.viscosity * omega
+
+  # density: quadratic drag on projected faces; torque per axis
+  area = 4.0 * jnp.stack([box[:, 1] * box[:, 2], box[:, 0] * box[:, 2],
+                          box[:, 0] * box[:, 1]], axis=-1)
+  f_dens = -0.5 * m.opt.density * area * jnp.abs(vlin) * vlin
+  bj = jnp.stack([box[:, 1], box[:, 2], box[:, 0]], axis=-1)
+  bk = jnp.stack([box[:, 2], box[:, 0], box[:, 1]], axis=-1)
+  t_coef = bj * bk * (bj ** 4 + bk ** 4) / 64.0
+  t_dens = -m.opt.density * t_coef * jnp.abs(omega) * omega
+
+  force_w = jnp.einsum("bij,bj->bi", rot, f_visc + f_dens)
+  torque_w = jnp.einsum("bij,bj->bi", rot, t_visc + t_dens)
+  # spatial force about world origin; project onto dofs via the body mask
+  fs = jnp.concatenate(
+      [torque_w + jnp.cross(d.xipos, force_w), force_w], axis=-1)
+  proj = d.cdof @ fs.T  # (nv, nbody)
+  return jnp.sum(jnp.where(m.dof_body_mask, proj, 0.0), axis=1)
+
+
 def passive(m: Model, d: Data) -> Data:
-  """Springs, dampers and smoothed joint friction loss."""
+  """Springs, dampers, fluid drag and smoothed joint friction loss."""
   dtype = d.qpos.dtype
   if m.nv == 0:
     return d.replace(qfrc_passive=jnp.zeros((0,), dtype=dtype))
   qfrc = -m.dof_damping * d.qvel
+  if m.opt.has_fluid:
+    qfrc = qfrc + _fluid_forces(m, d)
   # smooth Coulomb-style friction loss (reference puts this in the
   # constraint solver; a tanh regularization keeps it smooth for autodiff)
   qfrc = qfrc - m.dof_frictionloss * jnp.tanh(d.qvel / 0.01)

@@ -242,7 +242,11 @@ def from_mjmodel(mj, dtype=jnp.float32) -> types.Model:
       timestep=jnp.asarray(mj.opt.timestep, dtype=dtype),
       gravity=a(mj.opt.gravity),
       impratio=jnp.asarray(mj.opt.impratio, dtype=dtype),
+      viscosity=jnp.asarray(mj.opt.viscosity, dtype=dtype),
+      density=jnp.asarray(mj.opt.density, dtype=dtype),
+      wind=a(mj.opt.wind),
       integrator=int(mj.opt.integrator),
+      has_fluid=bool(mj.opt.viscosity > 0 or mj.opt.density > 0),
   )
 
   model = types.Model(

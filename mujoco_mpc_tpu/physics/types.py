@@ -95,8 +95,12 @@ class Option:
   gravity: jax.Array  # (3,)
   # contact solver behavior (engine-wide defaults; per-geom solref overrides)
   impratio: jax.Array  # () ratio of friction-to-normal stiffness
+  viscosity: jax.Array  # () fluid viscosity (inertia-box model)
+  density: jax.Array  # () fluid density (quadratic drag)
+  wind: jax.Array  # (3,)
   # static
   integrator: int = struct.field(pytree_node=False, default=0)  # 0=semi-impl
+  has_fluid: bool = struct.field(pytree_node=False, default=False)
 
 
 @struct.dataclass

@@ -67,8 +67,7 @@ class CrossEntropyPlanner:
     k = self.config.spline_points
     horizon_time = self.config.horizon * m.opt.timestep
     times = jnp.linspace(0.0, horizon_time, k).astype(m.qpos0.dtype)
-    mid = 0.5 * (m.actuator_ctrlrange[:, 0] + m.actuator_ctrlrange[:, 1])
-    mid = jnp.where(m.actuator_ctrllimited, mid, 0.0)
+    mid = task.default_ctrl()
     scale = jnp.where(
         m.actuator_ctrllimited,
         0.5 * (m.actuator_ctrlrange[:, 1] - m.actuator_ctrlrange[:, 0]), 1.0)

@@ -164,8 +164,7 @@ class ILQGPlanner:
     T = self.config.horizon
     nx = 2 * m.nv
     dtype = m.qpos0.dtype
-    mid = 0.5 * (m.actuator_ctrlrange[:, 0] + m.actuator_ctrlrange[:, 1])
-    mid = jnp.where(m.actuator_ctrllimited, mid, 0.0)
+    mid = task.default_ctrl()
     return ILQGPolicy(
         xs=jnp.zeros((T + 1, nx), dtype=dtype),
         us=jnp.tile(mid, (T, 1)),

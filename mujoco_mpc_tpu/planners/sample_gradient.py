@@ -73,8 +73,7 @@ class SampleGradientPlanner:
     k = self.config.spline_points
     horizon_time = self.config.horizon * m.opt.timestep
     times = jnp.linspace(0.0, horizon_time, k).astype(m.qpos0.dtype)
-    mid = 0.5 * (m.actuator_ctrlrange[:, 0] + m.actuator_ctrlrange[:, 1])
-    mid = jnp.where(m.actuator_ctrllimited, mid, 0.0)
+    mid = task.default_ctrl()
     expl = jnp.asarray(float(m.custom("sampling_exploration", 0.2)),
                        dtype=m.qpos0.dtype)
     return SGPolicy(times=times, values=jnp.tile(mid, (k, 1)),

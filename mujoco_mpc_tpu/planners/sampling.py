@@ -73,8 +73,7 @@ class SamplingPlanner:
     dt = m.opt.timestep
     horizon_time = self.config.horizon * dt
     times = jnp.linspace(0.0, horizon_time, k).astype(m.qpos0.dtype)
-    mid = 0.5 * (m.actuator_ctrlrange[:, 0] + m.actuator_ctrlrange[:, 1])
-    mid = jnp.where(m.actuator_ctrllimited, mid, 0.0)
+    mid = task.default_ctrl()
     values = jnp.tile(mid, (k, 1))
     expl = jnp.asarray(
         float(m.custom("sampling_exploration", 0.1)), dtype=m.qpos0.dtype)

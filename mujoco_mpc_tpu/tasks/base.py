@@ -137,6 +137,20 @@ class Task:
   # names of residual_* parameters, aligned with TaskParams.residual_params
   param_names: Tuple[str, ...] = struct.field(pytree_node=False, default=())
 
+  def default_ctrl(self) -> jax.Array:
+    """Initial nominal control: the home keyframe's ctrl when present,
+    otherwise mid-ctrlrange (keeps position-actuated robots at their
+    stance pose instead of commanding mid-range)."""
+    m = self.model
+    try:
+      ctrl = jnp.asarray(m.keyframe("home")[2], dtype=m.qpos0.dtype)
+      if ctrl.shape[0] == m.nu and bool(jnp.any(ctrl != 0)):
+        return ctrl
+    except KeyError:
+      pass
+    mid = 0.5 * (m.actuator_ctrlrange[:, 0] + m.actuator_ctrlrange[:, 1])
+    return jnp.where(m.actuator_ctrllimited, mid, 0.0)
+
   def set_weight(self, name: str, value) -> "Task":
     """SetCostWeights by term name (reference agent.proto:161-170)."""
     i = self.spec.names.index(name)

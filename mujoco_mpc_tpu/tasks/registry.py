@@ -48,7 +48,11 @@ def load_task_model(xml_name: str, dtype=jnp.float32):
 def _register_all():
   from mujoco_mpc_tpu.tasks import acrobot  # noqa: F401
   from mujoco_mpc_tpu.tasks import cartpole  # noqa: F401
+  from mujoco_mpc_tpu.tasks import humanoid  # noqa: F401
   from mujoco_mpc_tpu.tasks import particle  # noqa: F401
+  from mujoco_mpc_tpu.tasks import quadrotor  # noqa: F401
+  from mujoco_mpc_tpu.tasks import quadruped  # noqa: F401
+  from mujoco_mpc_tpu.tasks import swimmer  # noqa: F401
   from mujoco_mpc_tpu.tasks import walker  # noqa: F401
 
 

@@ -116,3 +116,20 @@ def test_weight_and_parameter_mutation():
   assert float(t2.params.weights[2]) == pytest.approx(0.7)
   t3 = task.set_parameter("Goal", 1.5)
   assert float(t3.params.residual_params[0]) == pytest.approx(1.5)
+
+
+def test_all_tasks_load_and_residual_dims_match():
+  """Every registered task loads; residual dims match its cost spec
+  (reference test/tasks/task_test.cc)."""
+  import jax as _jax
+  from mujoco_mpc_tpu.physics import io as phys_io
+  from mujoco_mpc_tpu.physics.step import forward as fwd
+
+  for name in registry.task_names():
+    task = registry.get_task(name)
+    d = phys_io.make_data(task.model)
+    d = _jax.jit(fwd)(task.model, d)
+    r = task.residual(task.model, d, task.params.residual_params)
+    assert r.shape[0] == task.spec.nresidual, name
+    assert jnp.isfinite(task.cost(d)), name
+  assert len(registry.task_names()) >= 9
