@@ -44,6 +44,31 @@ def tangent_dim(m: Model) -> int:
   return 2 * m.nv + m.na
 
 
+def measurement_slice(m: Model):
+  """(start, dim) of the non-USER sensordata — the measurement vector.
+
+  USER sensors are cost-term placeholders (reference convention); real
+  measurements follow them. Honors `estimator_sensor_start` /
+  `estimator_number_sensor` custom numerics when present (reference
+  cartpole task.xml estimator settings)."""
+  start = m.custom("estimator_sensor_start", None)
+  if start is not None:
+    # reference counts sensors, not addresses: convert
+    idx = int(start)
+    nsens = m.custom("estimator_number_sensor", None)
+    adr = m.sensor_spec[idx][3] if idx < len(m.sensor_spec) else 0
+    if nsens is not None:
+      last = idx + int(nsens) - 1
+      end = m.sensor_spec[last][3] + m.sensor_spec[last][4]
+      return adr, end - adr
+    return adr, m.nsensordata - adr
+  from mujoco_mpc_tpu.physics.types import SensorType
+  for (stype, _, _, adr, _dim) in m.sensor_spec:
+    if SensorType(stype) != SensorType.USER:
+      return adr, m.nsensordata - adr
+  return 0, m.nsensordata
+
+
 def pack_state(m: Model, qpos, qvel, act, dx):
   """(qpos, qvel, act) ⊕ tangent dx → new (qpos, qvel, act)."""
   nv, na = m.nv, m.na

@@ -223,9 +223,12 @@ def passive(m: Model, d: Data) -> Data:
   qfrc = -m.dof_damping * d.qvel
   if m.opt.has_fluid:
     qfrc = qfrc + _fluid_forces(m, d)
-  # smooth Coulomb-style friction loss (reference puts this in the
-  # constraint solver; a tanh regularization keeps it smooth for autodiff)
-  qfrc = qfrc - m.dof_frictionloss * jnp.tanh(d.qvel / 0.01)
+  if m.has_frictionloss:
+    # smooth Coulomb-style friction loss (reference puts this in the
+    # constraint solver; a tanh regularization keeps it smooth for autodiff)
+    qfrc = qfrc - m.dof_frictionloss * jnp.tanh(d.qvel / 0.01)
+  if not m.has_spring:
+    return d.replace(qfrc_passive=qfrc)
   # joint springs about qpos_spring
   spring = jnp.zeros(m.nv, dtype=dtype)
   for j in range(m.njnt):
@@ -279,51 +282,65 @@ def actuation(m: Model, d: Data) -> Data:
       jnp.clip(d.ctrl, m.actuator_ctrlrange[:, 0],
                m.actuator_ctrlrange[:, 1]), d.ctrl)
 
-  lengths, vels, moments = [], [], []
+  # static partition: scalar-joint transmissions take a fully vectorized
+  # gather/scatter path (one op each); site / ball transmissions loop.
+  scalar_u, other_u = [], []
   for u in range(m.nu):
-    if m.actuator_trntype[u] == TrnType.JOINT:
-      j = m.actuator_trnid[u]
-      qadr, vadr = m.jnt_qposadr[j], m.jnt_dofadr[j]
-      g = m.actuator_gear[u, 0]
-      if m.jnt_type[j] in (JointType.HINGE, JointType.SLIDE):
-        lengths.append(g * d.qpos[qadr])
-        vels.append(g * d.qvel[vadr])
-        moments.append(
-            jnp.zeros(m.nv, dtype=dtype).at[vadr].set(g))
-      else:  # ball/free: torque via rotational gear components
-        nrot = 3
-        radr = vadr + 3 if m.jnt_type[j] == JointType.FREE else vadr
-        gvec = m.actuator_gear[u, :3]
-        mom = jnp.zeros(m.nv, dtype=dtype)
-        for i in range(nrot):
-          mom = mom.at[radr + i].set(gvec[i])
-        lengths.append(jnp.zeros((), dtype=dtype))
-        vels.append(jnp.dot(gvec, d.qvel[radr:radr + nrot]))
-        moments.append(mom)
-    else:  # SITE transmission
-      lengths.append(jnp.zeros((), dtype=dtype))
-      vels.append(jnp.zeros((), dtype=dtype))
-      moments.append(_site_moment(m, d, u))
-  length = jnp.stack(lengths)
-  velocity = jnp.stack(vels)
-  moment = jnp.stack(moments)  # (nu, nv)
-
-  # activation dynamics
-  act_dot = jnp.zeros_like(d.act)
-  inputs = []
-  for u in range(m.nu):
-    dyn = m.actuator_dyntype[u]
-    if dyn == ActDyn.NONE:
-      inputs.append(ctrl[u])
+    j = m.actuator_trnid[u]
+    if (m.actuator_trntype[u] == TrnType.JOINT and
+        m.jnt_type[j] in (JointType.HINGE, JointType.SLIDE)):
+      scalar_u.append(u)
     else:
-      aadr = m.actuator_actadr[u]
-      inputs.append(d.act[aadr])
-      if dyn == ActDyn.INTEGRATOR:
-        act_dot = act_dot.at[aadr].set(ctrl[u])
-      else:  # FILTER / FILTEREXACT
-        tau = jnp.maximum(m.actuator_dynprm[u, 0], 1e-8)
-        act_dot = act_dot.at[aadr].set((ctrl[u] - d.act[aadr]) / tau)
-  inp = jnp.stack(inputs)
+      other_u.append(u)
+
+  length = jnp.zeros((m.nu,), dtype=dtype)
+  velocity = jnp.zeros((m.nu,), dtype=dtype)
+  if scalar_u:
+    uidx = jnp.asarray(scalar_u, dtype=jnp.int32)
+    qadr = jnp.asarray(
+        [m.jnt_qposadr[m.actuator_trnid[u]] for u in scalar_u], jnp.int32)
+    vadr = jnp.asarray(
+        [m.jnt_dofadr[m.actuator_trnid[u]] for u in scalar_u], jnp.int32)
+    gear = m.actuator_gear[uidx, 0]
+    length = length.at[uidx].set(gear * d.qpos[qadr])
+    velocity = velocity.at[uidx].set(gear * d.qvel[vadr])
+
+  # moments for non-scalar transmissions
+  other_moments = {}
+  for u in other_u:
+    if m.actuator_trntype[u] == TrnType.JOINT:  # ball/free rotary gear
+      j = m.actuator_trnid[u]
+      jvadr = m.jnt_dofadr[j]
+      nrot = 3
+      radr = jvadr + 3 if m.jnt_type[j] == JointType.FREE else jvadr
+      gvec = m.actuator_gear[u, :3]
+      mom = jnp.zeros(m.nv, dtype=dtype)
+      mom = jax.lax.dynamic_update_slice(mom, gvec, (radr,))
+      other_moments[u] = mom
+      velocity = velocity.at[u].set(
+          jnp.dot(gvec, d.qvel[radr:radr + nrot]))
+    else:  # SITE transmission
+      other_moments[u] = _site_moment(m, d, u)
+
+  # activation dynamics (fully vectorized when no stateful actuators)
+  act_dot = jnp.zeros_like(d.act)
+  if all(t == ActDyn.NONE for t in m.actuator_dyntype):
+    inp = ctrl
+  else:
+    inputs = []
+    for u in range(m.nu):
+      dyn = m.actuator_dyntype[u]
+      if dyn == ActDyn.NONE:
+        inputs.append(ctrl[u])
+      else:
+        aadr = m.actuator_actadr[u]
+        inputs.append(d.act[aadr])
+        if dyn == ActDyn.INTEGRATOR:
+          act_dot = act_dot.at[aadr].set(ctrl[u])
+        else:  # FILTER / FILTEREXACT
+          tau = jnp.maximum(m.actuator_dynprm[u, 0], 1e-8)
+          act_dot = act_dot.at[aadr].set((ctrl[u] - d.act[aadr]) / tau)
+    inp = jnp.stack(inputs)
 
   gain = jnp.where(
       jnp.asarray([t == GainBias.FIXED for t in m.actuator_gaintype]),
@@ -341,6 +358,10 @@ def actuation(m: Model, d: Data) -> Data:
       jnp.clip(force, m.actuator_forcerange[:, 0],
                m.actuator_forcerange[:, 1]), force)
 
-  qfrc = moment.T @ force
+  qfrc = jnp.zeros((m.nv,), dtype=dtype)
+  if scalar_u:
+    qfrc = qfrc.at[vadr].add(gear * force[uidx])
+  for u in other_u:
+    qfrc = qfrc + other_moments[u] * force[u]
   return d.replace(
       qfrc_actuator=qfrc, actuator_force=force, act_dot=act_dot)

@@ -284,6 +284,8 @@ def from_mjmodel(mj, dtype=jnp.float32) -> types.Model:
       actuator_biastype=ti(mj.actuator_biastype),
       actuator_actadr=ti(mj.actuator_actadr),
       actuator_names=_names(mj, mj.name_actuatoradr, mj.nu, "actuator"),
+      has_spring=bool(np.any(np.asarray(mj.jnt_stiffness) != 0)),
+      has_frictionloss=bool(np.any(np.asarray(mj.dof_frictionloss) != 0)),
       sensor_spec=tuple(sensor_spec),
       sensor_names=_names(mj, mj.name_sensoradr, mj.nsensor, "sensor"),
       custom_numeric=tuple(numerics),

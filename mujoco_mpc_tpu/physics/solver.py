@@ -16,6 +16,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
+from mujoco_mpc_tpu.ops import linalg
 from mujoco_mpc_tpu.physics.types import Data, JointType, Model
 
 _MINIMP, _MAXIMP = 1e-4, 0.9999
@@ -100,7 +101,7 @@ def solve(m: Model, d: Data, qacc_smooth: jax.Array,
 
   Args:
     qacc_smooth: unconstrained acceleration (nv,).
-    chol_factor: (c, lower) from jax.scipy.linalg.cho_factor of the
+    chol_factor: lower Cholesky factor (ops.linalg.chol_factor) of the
       (implicit-damping-augmented) inertia.
   """
   dtype = d.qpos.dtype
@@ -160,7 +161,7 @@ def solve(m: Model, d: Data, qacc_smooth: jax.Array,
   aref = -imp * (k * pos_term + b * vel)
 
   # Delassus operator A = J M⁻¹ Jᵀ and smooth residual a0 = J qacc_smooth
-  minv_jt = jax.scipy.linalg.cho_solve(chol_factor, jmat.T)  # (nv, nrow)
+  minv_jt = linalg.chol_solve(chol_factor, jmat.T)  # (nv, nrow)
   amat = jmat @ minv_jt
   diag = jnp.clip(jnp.diag(amat), 1e-10, None)
   reg = (1.0 - imp) / imp * diag

@@ -11,6 +11,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from mujoco_mpc_tpu.ops import linalg
 from mujoco_mpc_tpu.physics import collision, dynamics, kinematics, sensors
 from mujoco_mpc_tpu.physics import solver as solver_mod
 from mujoco_mpc_tpu.physics.types import Data, JointType, Model
@@ -25,10 +26,10 @@ def _chol(m: Model, d: Data):
   """
   h = m.opt.timestep
   mimp = d.qM + h * jnp.diag(m.dof_damping)
-  return jax.scipy.linalg.cho_factor(mimp, lower=True)
+  return linalg.chol_factor(mimp)
 
 
-def forward(m: Model, d: Data) -> Data:
+def forward(m: Model, d: Data, compute_sensors: bool = True) -> Data:
   """Position+velocity+acceleration pipeline; fills qacc and sensordata."""
   d = kinematics.kinematics(m, d)
   d = dynamics.com_pos(m, d)
@@ -41,22 +42,40 @@ def forward(m: Model, d: Data) -> Data:
   qfrc_smooth = (d.qfrc_passive + d.qfrc_actuator + d.qfrc_applied +
                  dynamics.xfrc_accumulate(m, d) - d.qfrc_bias)
   factor = _chol(m, d)
-  d = d.replace(qLD=factor[0])
-  qacc_smooth = jax.scipy.linalg.cho_solve(factor, qfrc_smooth)
+  d = d.replace(qLD=factor)
+  qacc_smooth = linalg.chol_solve(factor, qfrc_smooth)
 
   d = collision.collide(m, d)
   d = solver_mod.solve(m, d, qacc_smooth, factor)
-  qacc = jax.scipy.linalg.cho_solve(
-      factor, qfrc_smooth + d.qfrc_constraint)
+  qacc = linalg.chol_solve(factor, qfrc_smooth + d.qfrc_constraint)
   d = d.replace(qacc=qacc)
-  d = sensors.sensors(m, d)
+  if compute_sensors:
+    d = sensors.sensors(m, d)
   return d
 
 
 def integrate_pos(m: Model, qpos: jax.Array, qvel: jax.Array,
                   dt) -> jax.Array:
-  """qpos ⊕ qvel·dt respecting quaternion manifolds (mj_integratePos)."""
+  """qpos ⊕ qvel·dt respecting quaternion manifolds (mj_integratePos).
+
+  Scalar joints integrate in one vectorized op (the all-scalar case — most
+  planar models — is a single add); quaternion joints get the exact
+  exponential map each.
+  """
+  # fast path: no quaternion joints and dense addressing
+  if all(jt in (JointType.HINGE, JointType.SLIDE) for jt in m.jnt_type):
+    if m.nq == m.nv:
+      return qpos + dt * qvel
+
   out = qpos
+  scalar_q = [m.jnt_qposadr[j] for j in range(m.njnt)
+              if m.jnt_type[j] in (JointType.HINGE, JointType.SLIDE)]
+  scalar_v = [m.jnt_dofadr[j] for j in range(m.njnt)
+              if m.jnt_type[j] in (JointType.HINGE, JointType.SLIDE)]
+  if scalar_q:
+    qi = jnp.asarray(scalar_q, dtype=jnp.int32)
+    vi = jnp.asarray(scalar_v, dtype=jnp.int32)
+    out = out.at[qi].add(dt * qvel[vi])
   for j in range(m.njnt):
     qadr, vadr = m.jnt_qposadr[j], m.jnt_dofadr[j]
     jt = m.jnt_type[j]
@@ -71,14 +90,16 @@ def integrate_pos(m: Model, qpos: jax.Array, qvel: jax.Array,
           out[qadr:qadr + 4], qvel[vadr:vadr + 3],
           jnp.asarray(dt, dtype=qpos.dtype))
       out = out.at[qadr:qadr + 4].set(quat)
-    else:
-      out = out.at[qadr].add(dt * qvel[vadr])
   return out
 
 
 def step(m: Model, d: Data) -> Data:
-  """One semi-implicit Euler step (implicit joint damping)."""
-  d = forward(m, d)
+  """One semi-implicit Euler step (implicit joint damping).
+
+  Sensors are NOT evaluated here — rollout hot loops read Data directly
+  (task residuals); call forward() when sensordata is needed.
+  """
+  d = forward(m, d, compute_sensors=False)
   h = m.opt.timestep
   qvel = d.qvel + h * d.qacc
   act = d.act + h * d.act_dot if m.na else d.act
@@ -103,7 +124,7 @@ def inverse(m: Model, d: Data) -> jax.Array:
   factor = _chol(m, d)
   qfrc_smooth = (d.qfrc_passive + d.qfrc_applied +
                  dynamics.xfrc_accumulate(m, d) - d.qfrc_bias)
-  qacc_smooth = jax.scipy.linalg.cho_solve(factor, qfrc_smooth)
+  qacc_smooth = linalg.chol_solve(factor, qfrc_smooth)
   d = collision.collide(m, d)
   d = solver_mod.solve(m, d, qacc_smooth, factor)
 

@@ -163,6 +163,11 @@ class Model:
       pytree_node=False)
   sensor_names: Tuple[str, ...] = struct.field(pytree_node=False)
 
+  # static fast-path flags (computed at load; changing the underlying
+  # parameters at runtime requires reload)
+  has_spring: bool = struct.field(pytree_node=False)
+  has_frictionloss: bool = struct.field(pytree_node=False)
+
   # raw MJCF <custom><numeric> table for task/agent configuration
   # (reference: GetNumberOrDefault, mjpc/utilities.h:65)
   custom_numeric: Tuple[Tuple[str, Tuple[float, ...]], ...] = struct.field(

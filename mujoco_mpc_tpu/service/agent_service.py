@@ -192,7 +192,14 @@ def main():
 
   parser = argparse.ArgumentParser(description="mjpc_tpu agent server")
   parser.add_argument("--port", type=int, default=10000)
+  parser.add_argument("--jax_platform", default="",
+                      help="force a jax platform (e.g. cpu); the "
+                           "JAX_PLATFORMS env var is unreliable under the "
+                           "axon TPU plugin")
   args = parser.parse_args()
+  if args.jax_platform:
+    import jax
+    jax.config.update("jax_platforms", args.jax_platform)
   server, port = make_server(args.port)
   print(f"mjpc_tpu agent server listening on {port}", flush=True)
   server.wait_for_termination()

@@ -35,15 +35,17 @@ class AgentClient:
 
   def __init__(self, task_id: str, planner: str = "sampling",
                horizon_steps: int = 0, port: Optional[int] = None,
-               server_timeout: float = 180.0):
+               server_timeout: float = 180.0, jax_platform: str = ""):
     self._proc = None
     if port is None:
       port = _find_free_port()
       env = dict(os.environ)
+      cmd = [sys.executable, "-m", "mujoco_mpc_tpu.service.agent_service",
+             f"--port={port}"]
+      if jax_platform:
+        cmd.append(f"--jax_platform={jax_platform}")
       self._proc = subprocess.Popen(
-          [sys.executable, "-m", "mujoco_mpc_tpu.service.agent_service",
-           f"--port={port}"],
-          env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+          cmd, env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
       atexit.register(self.close)
     self._channel = grpc.insecure_channel(f"localhost:{port}")
     grpc.channel_ready_future(self._channel).result(timeout=server_timeout)

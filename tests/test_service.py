@@ -8,7 +8,7 @@ import pytest
 @pytest.fixture(scope="module")
 def client():
   from mujoco_mpc_tpu.service.client import AgentClient
-  c = AgentClient("Particle", planner="sampling")
+  c = AgentClient("Particle", planner="sampling", jax_platform="cpu")
   yield c
   c.close()
 
@@ -50,3 +50,47 @@ def test_planning_improves_over_rpc(client):
     client.planner_step()
     client.step()
   assert client.get_total_cost() < c0
+
+
+def test_filter_service_roundtrip():
+  """In-process StateEstimation service (reference filter_service)."""
+  import jax
+  import jax.numpy as jnp
+  from mujoco_mpc_tpu.service.filter_service import FilterClient
+  from mujoco_mpc_tpu.tasks import registry
+  from mujoco_mpc_tpu.physics import io as phys_io
+  from mujoco_mpc_tpu.physics.step import step as phys_step, forward as fwd
+
+  task = registry.get_task("Cartpole")
+  m = task.model
+  with FilterClient("Cartpole", filter="kalman") as fc:
+    d = phys_io.make_data(m).replace(
+        qpos=jnp.asarray([0.3, 0.2], dtype=jnp.float64))
+    step = jax.jit(phys_step)
+    for t in range(40):
+      u = np.asarray([0.1])
+      d = step(m, d.replace(ctrl=jnp.asarray(u, dtype=d.qpos.dtype)))
+      z = np.asarray(jax.jit(fwd)(m, d).sensordata)
+      fc.update(u, z)
+    st = fc.state()
+    assert abs(st["qpos"][0] - float(d.qpos[0])) < 0.05
+    cov = fc.covariance()
+    assert cov.shape == (4, 4)
+    noise = fc.noise()
+    assert noise["process"].shape == (4,)
+
+
+def test_direct_service_roundtrip():
+  """In-process Direct service (reference direct_service)."""
+  from mujoco_mpc_tpu.service.direct_service import DirectClient
+
+  with DirectClient("Cartpole", horizon=8) as dc:
+    st = dc.status()
+    assert st["horizon"] == 8 and not st["optimized"]
+    rng = np.random.RandomState(0)
+    for t in range(8):
+      dc.data(t, qpos=[0.01 * t + rng.normal(0, 0.01), 0.0],
+              sensor=[0.01 * t, 0.0, 0.01 * t, 0.0, 1.0], ctrl=[0.0])
+    res = dc.optimize()
+    assert res["cost_final"] <= res["cost_initial"]
+    assert dc.status()["optimized"]

@@ -1,0 +1,72 @@
+"""Tests: checkpoint/resume, embedding interface, testspeed harness,
+profiling."""
+
+import tempfile
+
+import numpy as np
+
+
+def test_checkpoint_roundtrip():
+  from mujoco_mpc_tpu.agent.agent import Agent
+  from mujoco_mpc_tpu.utils import checkpoint
+
+  agent = Agent("Particle")
+  agent.set_state(qpos=[0.17, -0.08])
+  agent.planner_step()
+  with tempfile.TemporaryDirectory() as td:
+    path = checkpoint.save(td + "/ckpt", agent)
+    agent2 = Agent("Particle")
+    checkpoint.restore(path, agent2)
+    np.testing.assert_allclose(agent2.get_state()["qpos"], [0.17, -0.08],
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(agent2.policy.values),
+                               np.asarray(agent.policy.values), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(agent2.task.params.weights),
+        np.asarray(agent.task.params.weights))
+
+
+def test_checkpoint_rejects_mismatched_template():
+  import pytest
+  from mujoco_mpc_tpu.agent.agent import Agent
+  from mujoco_mpc_tpu.utils import checkpoint
+
+  agent = Agent("Particle")
+  with tempfile.TemporaryDirectory() as td:
+    path = checkpoint.save(td + "/ckpt", agent)
+    other = Agent("Cartpole", planner="ilqg")
+    with pytest.raises(ValueError, match="leaves"):
+      checkpoint.restore(path, other)
+
+
+def test_embedding_interface():
+  from mujoco_mpc_tpu.agent import interface
+
+  handle = interface.create_policy("Particle")
+  try:
+    u = interface.step_policy(handle, qpos=[0.1, 0.1], qvel=[0, 0])
+    assert u.shape == (2,)
+    interface.set_weights(handle, {"Velocity": 0.2})
+  finally:
+    interface.destroy_policy(handle)
+
+
+def test_testspeed_harness():
+  from mujoco_mpc_tpu.tools.testspeed import synchronous_planning_cost
+
+  out = synchronous_planning_cost("Particle", total_time=0.3, plan_every=4,
+                                  keyframe=None, verbose=False)
+  assert out["realtime_factor"] > 0
+  assert np.isfinite(out["total_cost"])
+
+
+def test_phase_timer():
+  import time
+  from mujoco_mpc_tpu.utils.profiling import PhaseTimer
+
+  pt = PhaseTimer()
+  with pt.phase("x"):
+    time.sleep(0.01)
+  rep = pt.report()
+  assert rep["x"]["count"] == 1
+  assert rep["x"]["mean_ms"] >= 10
