@@ -85,6 +85,10 @@ class Agent:
     self._plan_thread: Optional[threading.Thread] = None
     self._exit = threading.Event()
     self.last_info = None
+    self._estimator = None
+    self._est_state = None
+    self._jit_est_update = None
+    self._ou_noise = np.zeros(task.model.nu)
 
     self._jit_opt = jax.jit(self.planner.optimize)
     self._jit_act = jax.jit(self.planner.action)
@@ -172,19 +176,59 @@ class Agent:
       d = d.replace(time=jnp.asarray(time, dtype=d.qpos.dtype))
     return np.asarray(self._jit_act(self.task, policy, d))
 
-  def step(self):
+  def step(self, ctrl_noise_std: float = 0.0,
+           ctrl_noise_rate: float = 0.1):
     """Synchronous env step: transition FSM → policy action → physics
-    (AgentService::Step, grpc/agent_service.cc:224-246)."""
+    (AgentService::Step, grpc/agent_service.cc:224-246).
+
+    ctrl_noise_std > 0 adds OU exploration noise to the executed action,
+    scaled by ctrlrange (reference app.cc:292-304)."""
     with self._lock:
       task, policy = self.task, self.policy
     d = self.data
     d = self._jit_transition(d) if task.transition else d
     u = self._jit_act(task, policy, d)
+    if ctrl_noise_std > 0:
+      m = self.sim_task.model
+      self._rng, k = jax.random.split(self._rng)
+      scale = 0.5 * (np.asarray(m.actuator_ctrlrange[:, 1]) -
+                     np.asarray(m.actuator_ctrlrange[:, 0]))
+      eps = np.asarray(jax.random.normal(k, (m.nu,)))
+      self._ou_noise = ((1.0 - ctrl_noise_rate) * self._ou_noise +
+                        np.sqrt(ctrl_noise_rate * (2 - ctrl_noise_rate)) *
+                        ctrl_noise_std * scale * eps)
+      u = jnp.asarray(np.asarray(u) + self._ou_noise, dtype=u.dtype)
     d = d.replace(ctrl=u)
     d = self._jit_step(self.sim_task.model, d)
     with self._lock:
       self.data = d
+    # feed the attached estimator from the simulated sensors
+    if self._estimator is not None:
+      df = self._jit_forward(self.sim_task.model, d)
+      self._est_state = self._jit_est_update(
+          self._est_state, d.ctrl, df.sensordata)
     return d
+
+  # ----------------------------------------------------------- estimation
+  def attach_estimator(self, name: str = "kalman", **kwargs):
+    """Run a state estimator alongside stepping (reference EstimatorLoop,
+    app.cc:151-206); estimated_state() reads its output."""
+    from mujoco_mpc_tpu.estimators import base as est_base
+    from mujoco_mpc_tpu.estimators import get_estimator
+
+    start, dim = est_base.measurement_slice(self.sim_task.model)
+    kwargs.setdefault("sensor_start", start)
+    kwargs.setdefault("nsensordata", dim)
+    self._estimator = get_estimator(name, self.sim_task.model, **kwargs)
+    self._est_state = self._estimator.init(self.data)
+    self._jit_est_update = jax.jit(self._estimator.update)
+
+  def estimated_state(self):
+    if self._estimator is None:
+      raise RuntimeError("no estimator attached")
+    qpos, qvel, act = self._estimator.state(self._est_state)
+    return {"qpos": np.asarray(qpos), "qvel": np.asarray(qvel),
+            "act": np.asarray(act)}
 
   def total_cost(self) -> float:
     """Task cost at the current state."""

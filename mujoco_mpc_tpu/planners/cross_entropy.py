@@ -38,7 +38,7 @@ class CEMConfig:
   spline_points: int = 10
   horizon: int = 100
   interp: spline.Interp = spline.Interp.ZERO
-  std_min: float = 0.01
+  std_min: float = 0.1
   std_initial: float = 0.3
 
   @classmethod
@@ -54,7 +54,7 @@ class CEMConfig:
         spline_points=int(m.custom("sampling_spline_points", 10)),
         horizon=hor,
         std_initial=float(m.custom("sampling_exploration", 0.3)),
-        std_min=float(m.custom("std_min", 0.01)),
+        std_min=float(m.custom("std_min", 0.1)),
     )
 
 
