@@ -356,6 +356,15 @@ def make_data(m: types.Model, dtype=None) -> types.Data:
   )
   quat0 = jnp.tile(
       jnp.asarray([1.0, 0, 0, 0], dtype=dtype), (max(m.nbody, 1), 1))
+  # mocap bodies start at their model pose (mjData convention)
+  if m.nmocap:
+    mocap_bodies = [b for b in range(m.nbody) if m.body_mocapid[b] >= 0]
+    order = sorted(mocap_bodies, key=lambda b: m.body_mocapid[b])
+    mocap_pos0 = jnp.stack([m.body_pos[b] for b in order]).astype(dtype)
+    mocap_quat0 = jnp.stack([m.body_quat[b] for b in order]).astype(dtype)
+  else:
+    mocap_pos0 = z(0, 3)
+    mocap_quat0 = z(0, 4)
   return types.Data(
       time=jnp.asarray(0.0, dtype=dtype),
       qpos=jnp.asarray(m.qpos0, dtype=dtype),
@@ -364,10 +373,8 @@ def make_data(m: types.Model, dtype=None) -> types.Data:
       ctrl=z(m.nu),
       qfrc_applied=z(m.nv),
       xfrc_applied=z(m.nbody, 6),
-      mocap_pos=z(m.nmocap, 3),
-      mocap_quat=jnp.tile(
-          jnp.asarray([1.0, 0, 0, 0], dtype=dtype), (max(m.nmocap, 1), 1))[
-              :m.nmocap],
+      mocap_pos=mocap_pos0,
+      mocap_quat=mocap_quat0,
       userdata=z(m.nuserdata),
       xpos=z(m.nbody, 3),
       xquat=quat0,

@@ -47,6 +47,7 @@ def load_task_model(xml_name: str, dtype=jnp.float32):
 # import task modules for registration side effects
 def _register_all():
   from mujoco_mpc_tpu.tasks import acrobot  # noqa: F401
+  from mujoco_mpc_tpu.tasks import arm_reach  # noqa: F401
   from mujoco_mpc_tpu.tasks import cartpole  # noqa: F401
   from mujoco_mpc_tpu.tasks import humanoid  # noqa: F401
   from mujoco_mpc_tpu.tasks import particle  # noqa: F401

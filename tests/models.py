@@ -139,6 +139,7 @@ BOX_ON_PLANE = """
 
 LIMITED = """
 <mujoco model="limited">
+  <compiler angle="radian"/>
   <option timestep="0.005" gravity="0 0 -9.81"/>
   <worldbody>
     <body name="arm" pos="0 0 1">
