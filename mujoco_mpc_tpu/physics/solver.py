@@ -74,25 +74,33 @@ def _contact_jacobian(m: Model, d: Data) -> jax.Array:
 
 
 def _limit_rows(m: Model, d: Data):
-  """Static two-sided limit rows for limited scalar joints."""
-  rows, poss, solrefs = [], [], []
-  dtype = d.qpos.dtype
-  for j in range(m.njnt):
-    if not m.jnt_limited[j]:
-      continue
-    if m.jnt_type[j] not in (JointType.HINGE, JointType.SLIDE):
-      continue  # ball-limit support: later round
-    qadr, vadr = m.jnt_qposadr[j], m.jnt_dofadr[j]
-    e = jnp.zeros(m.nv, dtype=dtype)
-    rows.append(e.at[vadr].set(1.0))
-    poss.append(d.qpos[qadr] - m.jnt_range[j, 0] - m.jnt_margin[j])
-    solrefs.append(m.jnt_solref[j])
-    rows.append(e.at[vadr].set(-1.0))
-    poss.append(m.jnt_range[j, 1] - d.qpos[qadr] - m.jnt_margin[j])
-    solrefs.append(m.jnt_solref[j])
-  if not rows:
+  """Two-sided limit rows for limited scalar joints.
+
+  The Jacobian rows are compile-time constants (±e_vadr); positions are a
+  single gather — no per-joint op chains in the hot loop.
+  """
+  import numpy as np
+
+  lim = [j for j in range(m.njnt)
+         if m.jnt_limited[j] and
+         m.jnt_type[j] in (JointType.HINGE, JointType.SLIDE)]
+  if not lim:
     return None
-  return (jnp.stack(rows), jnp.stack(poss), jnp.stack(solrefs))
+  dtype = d.qpos.dtype
+  nl = len(lim)
+  jmat_np = np.zeros((2 * nl, m.nv), dtype=np.float32)
+  for i, j in enumerate(lim):
+    jmat_np[2 * i, m.jnt_dofadr[j]] = 1.0
+    jmat_np[2 * i + 1, m.jnt_dofadr[j]] = -1.0
+  qadr = jnp.asarray([m.jnt_qposadr[j] for j in lim], dtype=jnp.int32)
+  jidx = jnp.asarray(lim, dtype=jnp.int32)
+  q = d.qpos[qadr]
+  lo = m.jnt_range[jidx, 0]
+  hi = m.jnt_range[jidx, 1]
+  margin = m.jnt_margin[jidx]
+  pos = jnp.stack([q - lo - margin, hi - q - margin], axis=-1).reshape(-1)
+  solref = jnp.repeat(m.jnt_solref[jidx], 2, axis=0)
+  return (jnp.asarray(jmat_np, dtype=dtype), pos, solref)
 
 
 def solve(m: Model, d: Data, qacc_smooth: jax.Array,

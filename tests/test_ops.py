@@ -133,3 +133,20 @@ def test_all_tasks_load_and_residual_dims_match():
     assert r.shape[0] == task.spec.nresidual, name
     assert jnp.isfinite(task.cost(d)), name
   assert len(registry.task_names()) >= 9
+
+
+def test_unrolled_cholesky_matches_numpy():
+  from mujoco_mpc_tpu.ops import linalg
+  rng = np.random.RandomState(0)
+  a = rng.randn(32, 7, 7)
+  a = a @ a.transpose(0, 2, 1) + 3 * np.eye(7)
+  b = rng.randn(32, 7)
+  x = jax.jit(linalg.solve_sym)(jnp.asarray(a), jnp.asarray(b))
+  ref = np.linalg.solve(a, b[..., None])[..., 0]
+  np.testing.assert_allclose(x, ref, rtol=1e-4, atol=1e-8)
+  # multi-RHS
+  bm = jnp.asarray(rng.randn(32, 7, 3))
+  xm = jax.jit(lambda aa, bb: linalg.chol_solve(
+      linalg.chol_factor(aa), bb))(jnp.asarray(a), bm)
+  np.testing.assert_allclose(
+      xm, jnp.linalg.solve(jnp.asarray(a), bm), rtol=1e-4, atol=1e-8)
