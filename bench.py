@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 TASK = "Walker"
-NUM_TRAJ = 128
+NUM_TRAJ = 1024
 HORIZON = 80  # steps at agent dt
 
 
@@ -74,7 +74,7 @@ def cpu_baseline():
   mj_model = mujoco.MjModel.from_xml_path(path)
   agent_dt = 0.01
   mj_model.opt.timestep = agent_dt
-  nthread = max(os.cpu_count() - 2, 1)
+  nthread = max(os.cpu_count() - 1, 1)
   per_thread = max(NUM_TRAJ // nthread, 1)
   total_rollouts = per_thread * nthread
 
@@ -119,7 +119,7 @@ def main():
   print(json.dumps({
       "metric": "batched_rollout_steps_per_sec",
       "value": round(tpu["steps_per_sec"]),
-      "unit": "physics steps/s (128x80 walker rollouts)",
+      "unit": f"physics steps/s ({NUM_TRAJ}x{HORIZON} walker rollouts)",
       "vs_baseline": round(vs, 3) if vs == vs else None,
       "planner_hz": round(tpu["planner_hz"], 1),
       "compile_s": round(tpu["compile_s"], 1),

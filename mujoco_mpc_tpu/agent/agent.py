@@ -54,6 +54,11 @@ _PLANNERS = {
 }
 
 
+# reference planner enum order (mjpc/planners/include.h:26-34)
+_PLANNER_INDEX = ("sampling", "gradient", "ilqg", "ilqs", "robust",
+                  "cross_entropy", "sample_gradient")
+
+
 def register_planner(name: str, factory):
   _PLANNERS[name] = factory
 
@@ -61,11 +66,17 @@ def register_planner(name: str, factory):
 class Agent:
   """Predictive-control agent: owns task, planner, policy and sim state."""
 
-  def __init__(self, task: str | task_base.Task, planner: str = "sampling",
+  def __init__(self, task: str | task_base.Task,
+               planner: Optional[str] = None,
                horizon_steps: Optional[int] = None, seed: int = 0,
                dtype=jnp.float32):
     if isinstance(task, str):
       task = registry.get_task(task, dtype=dtype)
+    if planner is None:
+      # task XML selects the planner (reference agent_planner numeric)
+      idx = int(task.model.custom("agent_planner", 0))
+      planner = _PLANNER_INDEX[idx] if idx < len(_PLANNER_INDEX) else \
+          "sampling"
     self.sim_task = task  # model at the XML timestep (physics fidelity)
     # planning model runs at agent_timestep (reference agent.cc:288-293)
     agent_dt = task.model.custom("agent_timestep", None)
