@@ -9,9 +9,17 @@ drive it through simple arrays.
 
 from __future__ import annotations
 
+import os
 from typing import Dict, Optional
 
 import numpy as np
+
+# native hosts cannot call jax.config before embedding starts; honor an
+# env knob here (JAX_PLATFORMS itself is unreliable under the axon plugin)
+if os.environ.get("MJPC_JAX_PLATFORM"):
+  import jax
+
+  jax.config.update("jax_platforms", os.environ["MJPC_JAX_PLATFORM"])
 
 from mujoco_mpc_tpu.agent.agent import Agent
 

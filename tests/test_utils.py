@@ -70,3 +70,21 @@ def test_phase_timer():
   rep = pt.report()
   assert rep["x"]["count"] == 1
   assert rep["x"]["mean_ms"] >= 10
+
+
+def test_native_capi_smoke():
+  """Build the C ABI library and drive the agent from a C++ host
+  (reference interface.h embedding)."""
+  import os
+  import subprocess
+  import sys
+
+  here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+  build = os.path.join(here, "mujoco_mpc_tpu", "native", "build.py")
+  env = dict(os.environ)
+  env["MJPC_JAX_PLATFORM"] = "cpu"
+  env["PYTHONPATH"] = here + ":" + env.get("PYTHONPATH", "")
+  out = subprocess.run([sys.executable, build, "--test"], env=env,
+                       capture_output=True, text=True, timeout=400)
+  assert out.returncode == 0, out.stdout + out.stderr
+  assert "C ABI smoke test OK" in out.stdout
