@@ -253,8 +253,22 @@ class Agent:
     terms = task_base.cost_terms(self.task.spec, self.task.params, r)
     return dict(zip(self.task.spec.names, np.asarray(terms)))
 
-  def best_trajectory(self):
-    return self.last_info
+  def best_trajectory(self, horizon: Optional[int] = None):
+    """Roll the current policy from the current state and return the
+    trajectory (reference GetBestTrajectory, agent.proto:142-146)."""
+    from mujoco_mpc_tpu.ops import rollout as rollout_mod
+
+    with self._lock:
+      task, policy, data = self.task, self.policy, self.data
+    hor = horizon or getattr(self.planner.config, "horizon", 100)
+    pf = lambda t, dd: self.planner.action(task, policy, dd)
+    res = jax.jit(
+        lambda d: rollout_mod.rollout(task, d, pf, hor))(data)
+    return {
+        "qpos": np.asarray(res.qpos),
+        "costs": np.asarray(res.costs),
+        "total_return": float(res.total_return),
+    }
 
   # ------------------------------------------------------------- async API
   def start_planning(self, rate_limit_hz: Optional[float] = None):

@@ -88,3 +88,34 @@ def test_native_capi_smoke():
                        capture_output=True, text=True, timeout=400)
   assert out.returncode == 0, out.stdout + out.stderr
   assert "C ABI smoke test OK" in out.stdout
+
+
+def test_agent_async_plan_loop_reduces_cost():
+  """Full async plan loop with a real thread (reference
+  test/agent/agent_test.cc:94-140)."""
+  import time
+  from mujoco_mpc_tpu.agent.agent import Agent
+
+  agent = Agent("Particle")
+  agent.set_state(qpos=[0.25, -0.25])
+  c0 = agent.total_cost()
+  agent.start_planning()
+  try:
+    for _ in range(150):
+      agent.step()
+      time.sleep(0.001)
+  finally:
+    agent.stop_planning()
+  assert agent.total_cost() < c0 * 0.5
+
+
+def test_agent_best_trajectory():
+  from mujoco_mpc_tpu.agent.agent import Agent
+
+  agent = Agent("Particle")
+  agent.set_state(qpos=[0.2, 0.2])
+  agent.planner_step()
+  traj = agent.best_trajectory()
+  assert traj["qpos"].shape[1] == 2
+  assert np.isfinite(traj["total_return"])
+  assert traj["costs"].ndim == 1
