@@ -2,6 +2,11 @@
 
 Usage: python examples/cartpole_swingup.py [--platform cpu]
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import math
 

@@ -2,6 +2,11 @@
 
 Usage: python examples/humanoid_walk.py
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import dataclasses
 
 import jax
