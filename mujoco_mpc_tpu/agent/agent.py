@@ -163,12 +163,18 @@ class Agent:
                     np.asarray(self.task.params.weights)))
 
   # -------------------------------------------------------------- planning
-  def planner_step(self):
+  def planner_step(self, from_estimate: bool = False):
     """One planning iteration against the current state (PlanIteration,
-    agent.cc:283-357)."""
+    agent.cc:283-357). With from_estimate=True and an attached estimator,
+    plans from the estimated state (reference estimator_enabled path)."""
     self._rng, key = jax.random.split(self._rng)
     with self._lock:
       task, data, policy = self.task, self.data, self.policy
+    if from_estimate:
+      if self._estimator is None:
+        raise RuntimeError("no estimator attached")
+      qpos, qvel, act = self._estimator.state(self._est_state)
+      data = data.replace(qpos=qpos, qvel=qvel, act=act)
     new_policy, info = self._jit_opt(task, policy, data, key)
     jax.block_until_ready(new_policy)
     with self._lock:

@@ -147,3 +147,56 @@ def test_batch_filter_tracks(pendulum):
     state = upd(state, ctrls[t], sensors[t])
   qpos, qvel, _ = filt.state(state)
   assert abs(float(qpos[0]) - qs[-1, 0]) < 0.05
+
+
+def test_system_id_recovers_damping(pendulum):
+  """Differentiable-physics system ID: recover joint damping by gradient
+  descent through the rollout (reference direct/model_parameters.h — FD
+  there, exact gradients here)."""
+  import optax
+  from mujoco_mpc_tpu.physics.step import step as phys_step
+
+  m_true = pendulum
+  steps = 60
+  ctrls, sensors, qs, vs = _simulate(m_true, steps, ctrl_scale=0.6)
+  qs = jnp.asarray(qs)
+  ctrls = jnp.stack(ctrls)
+
+  def rollout_qpos(damping):
+    m = m_true.replace(dof_damping=damping)
+    d = physics.make_data(m).replace(qpos=physics.make_data(m).qpos + 0.1)
+
+    def body(d, u):
+      d = phys_step(m, d.replace(ctrl=u))
+      return d, d.qpos
+
+    _, traj = jax.lax.scan(body, d, ctrls)
+    return traj
+
+  def loss(log_damping):
+    traj = rollout_qpos(jnp.exp(log_damping))
+    return jnp.mean((traj - qs) ** 2)
+
+  # start from a wrong damping (true = 0.1)
+  theta = jnp.log(jnp.asarray([0.5]))
+  opt = optax.adam(0.15)
+  state = opt.init(theta)
+  vg = jax.jit(jax.value_and_grad(loss))
+  for i in range(200):
+    val, g = vg(theta)
+    updates, state = opt.update(g, state, theta)
+    theta = optax.apply_updates(theta, updates)
+  est = float(jnp.exp(theta[0]))
+  assert abs(est - 0.1) < 0.02, f"recovered damping {est}, true 0.1"
+
+
+def test_plan_from_estimate():
+  """Agent plans from the estimator's state when requested."""
+  from mujoco_mpc_tpu.agent.agent import Agent
+
+  agent = Agent("Cartpole")
+  agent.set_state(qpos=[0.2, 0.3])
+  agent.attach_estimator("kalman")
+  agent.step()
+  info = agent.planner_step(from_estimate=True)
+  assert np.isfinite(float(info.best_return))
