@@ -34,3 +34,11 @@ def make(dtype=jnp.float32) -> base.Task:
   return base.Task(name="Particle", model=model, spec=spec, params=params,
                    residual=residual, transition=transition,
                    param_names=pnames)
+
+
+@registry.register("ParticleFixed")
+def make_fixed(dtype=jnp.float32) -> base.Task:
+  """Fixed-goal variant (reference ParticleFixed): no transition FSM."""
+  model, spec, params, pnames = registry.load_task_model("particle.xml", dtype)
+  return base.Task(name="ParticleFixed", model=model, spec=spec,
+                   params=params, residual=residual, param_names=pnames)

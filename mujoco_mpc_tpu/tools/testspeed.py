@@ -20,7 +20,7 @@ import jax
 import numpy as np
 
 
-def synchronous_planning_cost(task_name: str, planner: str = "sampling",
+def synchronous_planning_cost(task_name: str, planner=None,
                               total_time: float = 10.0,
                               plan_every: int = 4,
                               keyframe: str | None = "home",
