@@ -101,9 +101,10 @@ def _body_inertias(m: Model, d: Data) -> jax.Array:
   return jax.vmap(math.spatial_inertia)(m.body_mass, inertia_world, d.xipos)
 
 
-def crb(m: Model, d: Data) -> Data:
+def crb(m: Model, d: Data, ibody=None) -> Data:
   """Composite-rigid-body joint-space inertia qM (dense) via ancestor mask."""
-  ibody = _body_inertias(m, d)
+  if ibody is None:
+    ibody = _body_inertias(m, d)
   # composite inertia: reverse accumulation over static tree
   ic = [ibody[b] for b in range(m.nbody)]
   for b in range(m.nbody - 1, 0, -1):
@@ -122,10 +123,11 @@ def crb(m: Model, d: Data) -> Data:
   return d.replace(qM=qm)
 
 
-def rne(m: Model, d: Data, cdof_dot: jax.Array) -> Data:
+def rne(m: Model, d: Data, cdof_dot: jax.Array, ibody=None) -> Data:
   """Bias force qfrc_bias = C(q,v)v + g via recursive Newton-Euler."""
   dtype = d.qpos.dtype
-  ibody = _body_inertias(m, d)
+  if ibody is None:
+    ibody = _body_inertias(m, d)
   grav = jnp.concatenate([jnp.zeros(3, dtype=dtype), -m.opt.gravity])
   # forward: bias accelerations (q̈ = 0, base accel = -g trick)
   cacc = [grav]

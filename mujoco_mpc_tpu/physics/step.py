@@ -34,8 +34,9 @@ def forward(m: Model, d: Data, compute_sensors: bool = True) -> Data:
   d = kinematics.kinematics(m, d)
   d = dynamics.com_pos(m, d)
   d, cdof_dot = dynamics.com_vel(m, d)
-  d = dynamics.crb(m, d)
-  d = dynamics.rne(m, d, cdof_dot)
+  ibody = dynamics._body_inertias(m, d)  # shared by CRB and RNE
+  d = dynamics.crb(m, d, ibody)
+  d = dynamics.rne(m, d, cdof_dot, ibody)
   d = dynamics.passive(m, d)
   d = dynamics.actuation(m, d)
 
@@ -117,8 +118,9 @@ def inverse(m: Model, d: Data) -> jax.Array:
   d = kinematics.kinematics(m, d)
   d = dynamics.com_pos(m, d)
   d, cdof_dot = dynamics.com_vel(m, d)
-  d = dynamics.crb(m, d)
-  d = dynamics.rne(m, d, cdof_dot)
+  ibody = dynamics._body_inertias(m, d)
+  d = dynamics.crb(m, d, ibody)
+  d = dynamics.rne(m, d, cdof_dot, ibody)
   d = dynamics.passive(m, d)
 
   factor = _chol(m, d)

@@ -31,7 +31,7 @@ from flax import struct
 import jax
 import jax.numpy as jnp
 
-from mujoco_mpc_tpu.ops import norms
+from mujoco_mpc_tpu.ops import linalg, norms
 from mujoco_mpc_tpu.ops.rollout import MAX_RETURN
 from mujoco_mpc_tpu.physics.step import step as phys_step
 from mujoco_mpc_tpu.planners.base import PlanInfo
@@ -86,7 +86,7 @@ def boxqp(quu: jax.Array, qu: jax.Array, lo: jax.Array, hi: jax.Array,
     fmask = jnp.outer(free, free)
     mat = quu * fmask + eye * (1.0 - free) + 1e-8 * eye
     rhs = -(grad * free)
-    step = jnp.linalg.solve(mat, rhs)
+    step = linalg.solve_sym(mat, rhs)  # PSD by construction
     delta = jnp.clip(delta + step * free, lo, hi)
     return delta, free
 
@@ -277,7 +277,7 @@ class ILQGPlanner:
       # gains on the free subspace: K = -Quu⁻¹ Qux, clamped rows zeroed
       fmask = jnp.outer(free, free)
       quu_f = quu * fmask + jnp.eye(nu, dtype=xs.dtype) * (1.0 - free)
-      kmat = -jnp.linalg.solve(quu_f, qux * free[:, None])
+      kmat = -linalg.solve_sym(quu_f, qux * free[:, None])
       vx_new = (qx + kmat.T @ quu @ k_ff + kmat.T @ qu + qux.T @ k_ff)
       vxx_new = (qxx + kmat.T @ quu @ kmat + kmat.T @ qux + qux.T @ kmat)
       vxx_new = 0.5 * (vxx_new + vxx_new.T)
