@@ -51,6 +51,7 @@ def _register_all():
   from mujoco_mpc_tpu.tasks import cartpole  # noqa: F401
   from mujoco_mpc_tpu.tasks import humanoid  # noqa: F401
   from mujoco_mpc_tpu.tasks import particle  # noqa: F401
+  from mujoco_mpc_tpu.tasks import push  # noqa: F401
   from mujoco_mpc_tpu.tasks import quadrotor  # noqa: F401
   from mujoco_mpc_tpu.tasks import quadruped  # noqa: F401
   from mujoco_mpc_tpu.tasks import swimmer  # noqa: F401
