@@ -136,6 +136,15 @@ class AgentServicer:
     r = a.task.residual(a.task.model, d, a.task.params.residual_params)
     return pb.GetResidualsResponse(residuals=np.asarray(r).tolist())
 
+  def StartPlanning(self, req: pb.StartPlanningRequest, ctx):
+    self._require().start_planning(
+        rate_limit_hz=req.rate_limit_hz or None)
+    return pb.StartPlanningResponse()
+
+  def StopPlanning(self, req, ctx):
+    self._require().stop_planning()
+    return pb.StopPlanningResponse()
+
   def GetBestTrajectory(self, req, ctx):
     a = self._require()
     info = a.last_info
@@ -149,6 +158,8 @@ class AgentServicer:
 
 _RPCS = [
     ("Init", pb.InitRequest, pb.InitResponse),
+    ("StartPlanning", pb.StartPlanningRequest, pb.StartPlanningResponse),
+    ("StopPlanning", pb.StopPlanningRequest, pb.StopPlanningResponse),
     ("SetState", pb.SetStateRequest, pb.SetStateResponse),
     ("GetState", pb.GetStateRequest, pb.GetStateResponse),
     ("GetAction", pb.GetActionRequest, pb.GetActionResponse),

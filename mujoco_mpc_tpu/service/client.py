@@ -78,6 +78,10 @@ class AgentClient:
                               pb.GetResidualsResponse)
     self._get_best = rpc("GetBestTrajectory", pb.GetBestTrajectoryRequest,
                          pb.GetBestTrajectoryResponse)
+    self._start_planning = rpc("StartPlanning", pb.StartPlanningRequest,
+                               pb.StartPlanningResponse)
+    self._stop_planning = rpc("StopPlanning", pb.StopPlanningRequest,
+                              pb.StopPlanningResponse)
 
     self._init(pb.InitRequest(task_id=task_id, planner=planner,
                               horizon_steps=horizon_steps),
@@ -155,6 +159,14 @@ class AgentClient:
     resp = self._get_best(pb.GetBestTrajectoryRequest())
     return {"best_return": resp.best_return, "winner": resp.winner,
             "candidate_returns": np.asarray(resp.candidate_returns)}
+
+  def start_planning(self, rate_limit_hz: float = 0.0):
+    """Launch background planning on the server (ui_agent semantics)."""
+    self._start_planning(pb.StartPlanningRequest(rate_limit_hz=rate_limit_hz),
+                         timeout=300)
+
+  def stop_planning(self):
+    self._stop_planning(pb.StopPlanningRequest())
 
   # --------------------------------------------------------------- cleanup
   def close(self):

@@ -94,3 +94,19 @@ def test_direct_service_roundtrip():
     res = dc.optimize()
     assert res["cost_final"] <= res["cost_initial"]
     assert dc.status()["optimized"]
+
+
+def test_async_planning_over_rpc(client):
+  """Server-side background planning (reference ui_agent_service)."""
+  import time
+  client.reset()
+  client.set_state(qpos=[0.3, -0.3])
+  c0 = client.get_total_cost()
+  client.start_planning()
+  try:
+    for _ in range(60):
+      client.step()
+      time.sleep(0.002)
+  finally:
+    client.stop_planning()
+  assert client.get_total_cost() < c0
