@@ -154,6 +154,10 @@ class Direct:
   def optimize(self, qpos_init: jax.Array, sensors: jax.Array,
                ctrls: Optional[jax.Array] = None) -> DirectResult:
     """Smooth the window: qpos_init (T, nq), sensors (T, ns) → optimum."""
+    with jax.default_matmul_precision("highest"):
+      return self._optimize_impl(qpos_init, sensors, ctrls)
+
+  def _optimize_impl(self, qpos_init, sensors, ctrls):
     m = self.model
     cfg = self.config
     T = cfg.horizon

@@ -73,6 +73,12 @@ class Kalman:
              sensor: jax.Array) -> KalmanState:
     """Measurement update at the current time, then prediction
     (UpdateMeasurement + UpdatePrediction, kalman.cc:212,292)."""
+    # covariance recursions need f32 matmuls on TPU (MXU default is bf16)
+    with jax.default_matmul_precision("highest"):
+      return self._update(state, ctrl, sensor)
+
+  def _update(self, state: KalmanState, ctrl: jax.Array,
+              sensor: jax.Array) -> KalmanState:
     m = self.model
     d = state.data
     nt = base.tangent_dim(m)

@@ -67,6 +67,12 @@ class Unscented:
 
   def update(self, state: UnscentedState, ctrl: jax.Array,
              sensor: jax.Array) -> UnscentedState:
+    # covariance recursions need f32 matmuls on TPU (MXU default is bf16)
+    with jax.default_matmul_precision("highest"):
+      return self._update(state, ctrl, sensor)
+
+  def _update(self, state: UnscentedState, ctrl: jax.Array,
+              sensor: jax.Array) -> UnscentedState:
     m = self.model
     d = state.data
     nt = base.tangent_dim(m)

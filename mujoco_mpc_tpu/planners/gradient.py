@@ -105,6 +105,12 @@ class GradientPlanner:
   def optimize(self, task: Task, policy: GradientPolicy, data: Data,
                rng: jax.Array, params: Optional[TaskParams] = None
                ) -> Tuple[GradientPolicy, PlanInfo]:
+    with jax.default_matmul_precision("highest"):
+      return self._optimize(task, policy, data, rng, params)
+
+  def _optimize(self, task: Task, policy: GradientPolicy, data: Data,
+                rng: jax.Array, params: Optional[TaskParams] = None
+                ) -> Tuple[GradientPolicy, PlanInfo]:
     del rng  # deterministic planner
     cfg = self.config
     m = task.model

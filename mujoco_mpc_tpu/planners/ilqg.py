@@ -47,13 +47,16 @@ class ILQGPolicy:
   gains: jax.Array  # (T, nu, nx) feedback K
   t0: jax.Array  # () time of step 0
   feedback_scale: jax.Array  # ()
+  reg: jax.Array  # () adaptive Levenberg regularization
 
 
 @dataclasses.dataclass(frozen=True)
 class ILQGConfig:
   horizon: int = 100
   num_alphas: int = 8  # parallel line-search scales
-  reg: float = 1e-5  # Levenberg regularization on V_xx
+  reg: float = 1e-5  # initial Levenberg regularization on V_xx
+  reg_min: float = 1e-6
+  reg_max: float = 1e2
   feedback_scale: float = 1.0
 
   @classmethod
@@ -170,7 +173,8 @@ class ILQGPlanner:
         us=jnp.tile(mid, (T, 1)),
         gains=jnp.zeros((T, m.nu, nx), dtype=dtype),
         t0=jnp.zeros((), dtype=dtype),
-        feedback_scale=jnp.asarray(self.config.feedback_scale, dtype=dtype))
+        feedback_scale=jnp.asarray(self.config.feedback_scale, dtype=dtype),
+        reg=jnp.asarray(self.config.reg, dtype=dtype))
 
   def action(self, task: Task, policy: ILQGPolicy, data: Data) -> jax.Array:
     """u = ū_t + K_t (x − x̄_t), zero-order hold over the time index
@@ -218,6 +222,14 @@ class ILQGPlanner:
   def optimize(self, task: Task, policy: ILQGPolicy, data: Data,
                rng: jax.Array, params: Optional[TaskParams] = None
                ) -> Tuple[ILQGPolicy, PlanInfo]:
+    # TPU MXU default (bf16) destroys the 60-step Riccati recursion —
+    # finite on CPU, NaN gains on TPU. Force f32 matmuls here.
+    with jax.default_matmul_precision("highest"):
+      return self._optimize(task, policy, data, rng, params)
+
+  def _optimize(self, task: Task, policy: ILQGPolicy, data: Data,
+                rng: jax.Array, params: Optional[TaskParams] = None
+                ) -> Tuple[ILQGPolicy, PlanInfo]:
     del rng
     self._check(task)
     cfg = self.config
@@ -257,27 +269,34 @@ class ILQGPlanner:
     lo = m.actuator_ctrlrange[:, 0]
     hi = m.actuator_ctrlrange[:, 1]
     eye = jnp.eye(nx, dtype=xs.dtype)
-    reg = cfg.reg
+    reg = policy.reg  # adaptive (reference regularization ladder,
+    # backward_pass.cc regularization types)
 
     # ---- Riccati backward scan with boxQP (backward_pass.cc:65-253)
     def riccati(carry, inp):
       vx, vxx = carry
       a, b, cx_t, cu_t, cxx_t, cuu_t, cux_t, u_t = inp
+      # regularized Q terms drive the gains; UNregularized terms propagate
+      # the value function (Tassa's scheme — leaking reg into V compounds
+      # over the horizon and blows up, reference backward_pass.cc reg types)
       vxx_reg = vxx + reg * eye
       qx = cx_t + a.T @ vx
       qu = cu_t + b.T @ vx
       qxx = cxx_t + a.T @ vxx @ a
-      quu = cuu_t + b.T @ vxx_reg @ b + 1e-6 * jnp.eye(nu, dtype=xs.dtype)
-      qux = cux_t + b.T @ vxx_reg @ a
+      eps_u = 1e-6 * jnp.eye(nu, dtype=xs.dtype)
+      quu = cuu_t + b.T @ vxx @ b + eps_u
+      qux = cux_t + b.T @ vxx @ a
+      quu_r = cuu_t + b.T @ vxx_reg @ b + eps_u
+      qux_r = cux_t + b.T @ vxx_reg @ a
       dlo = jnp.where(m.actuator_ctrllimited, lo - u_t,
                       jnp.full_like(u_t, -1e9))
       dhi = jnp.where(m.actuator_ctrllimited, hi - u_t,
                       jnp.full_like(u_t, 1e9))
-      k_ff, free = boxqp(quu, qu, dlo, dhi)
+      k_ff, free = boxqp(quu_r, qu, dlo, dhi)
       # gains on the free subspace: K = -Quu⁻¹ Qux, clamped rows zeroed
       fmask = jnp.outer(free, free)
-      quu_f = quu * fmask + jnp.eye(nu, dtype=xs.dtype) * (1.0 - free)
-      kmat = -linalg.solve_sym(quu_f, qux * free[:, None])
+      quu_f = quu_r * fmask + jnp.eye(nu, dtype=xs.dtype) * (1.0 - free)
+      kmat = -linalg.solve_sym(quu_f, qux_r * free[:, None])
       vx_new = (qx + kmat.T @ quu @ k_ff + kmat.T @ qu + qux.T @ k_ff)
       vxx_new = (qxx + kmat.T @ quu @ kmat + kmat.T @ qux + qux.T @ kmat)
       vxx_new = 0.5 * (vxx_new + vxx_new.T)
@@ -300,7 +319,14 @@ class ILQGPlanner:
 
     rets, xs_all, us_all = jax.vmap(try_alpha)(alphas)
     best = jnp.argmin(rets)
+    # regularization ladder: decrease on improvement, increase when even
+    # the best feedforward fails to beat the zero-step rollout
+    improved = rets[best] < rets[0] - 1e-8
+    new_reg = jnp.clip(
+        jnp.where(improved, policy.reg * 0.5, policy.reg * 10.0),
+        cfg.reg_min, cfg.reg_max)
     new_policy = policy.replace(
-        xs=xs_all[best], us=us_all[best], gains=gains, t0=data.time)
+        xs=xs_all[best], us=us_all[best], gains=gains, t0=data.time,
+        reg=new_reg)
     info = PlanInfo(costs=rets, winner=best, best_return=rets[best])
     return new_policy, info
