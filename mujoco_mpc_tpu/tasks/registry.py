@@ -49,6 +49,7 @@ def _register_all():
   from mujoco_mpc_tpu.tasks import acrobot  # noqa: F401
   from mujoco_mpc_tpu.tasks import arm_reach  # noqa: F401
   from mujoco_mpc_tpu.tasks import cartpole  # noqa: F401
+  from mujoco_mpc_tpu.tasks import fingers  # noqa: F401
   from mujoco_mpc_tpu.tasks import humanoid  # noqa: F401
   from mujoco_mpc_tpu.tasks import particle  # noqa: F401
   from mujoco_mpc_tpu.tasks import push  # noqa: F401
