@@ -18,8 +18,11 @@ TPU design decisions:
     loop exit, jit/vmap-friendly);
   - line search over α is a vmap of rollouts, winner by total return.
 
-Limitation (round 1): models whose qpos has no quaternions (nq == nv);
-manifold-aware state differences come with the estimator work.
+Quaternion models (nq > nv) are handled in the tangent space: the policy
+state is x = (qpos, qvel) but all derivatives/feedback act on the 2·nv
+tangent δx = (qpos ⊖ q̄pos, qvel − q̄vel) via manifold retraction/log-map —
+the exact-AD analogue of the reference's quaternion-aware finite
+differencing (mjpc/planners/model_derivatives.cc:91-96, mjd_transitionFD).
 """
 
 from __future__ import annotations
@@ -31,6 +34,7 @@ from flax import struct
 import jax
 import jax.numpy as jnp
 
+from mujoco_mpc_tpu.estimators.base import local_diff, retract
 from mujoco_mpc_tpu.ops import linalg, norms
 from mujoco_mpc_tpu.ops.rollout import MAX_RETURN
 from mujoco_mpc_tpu.physics.step import step as phys_step
@@ -42,9 +46,9 @@ from mujoco_mpc_tpu.tasks.base import Task, TaskParams
 @struct.dataclass
 class ILQGPolicy:
   """Time-indexed affine feedback policy."""
-  xs: jax.Array  # (T+1, nx) nominal states
+  xs: jax.Array  # (T+1, nq+nv) nominal states (qpos ‖ qvel)
   us: jax.Array  # (T, nu) nominal actions
-  gains: jax.Array  # (T, nu, nx) feedback K
+  gains: jax.Array  # (T, nu, 2·nv) tangent-space feedback K
   t0: jax.Array  # () time of step 0
   feedback_scale: jax.Array  # ()
   reg: jax.Array  # () adaptive Levenberg regularization
@@ -104,33 +108,39 @@ class ILQGPlanner:
     self.config = config
 
   # --------------------------------------------------------------- helpers
-  def _check(self, task: Task):
-    m = task.model
-    if m.nq != m.nv:
-      raise NotImplementedError(
-          "iLQG round-1 supports quaternion-free models (nq == nv); "
-          f"got nq={m.nq} nv={m.nv}")
-
   def _state(self, d: Data) -> jax.Array:
     return jnp.concatenate([d.qpos, d.qvel])
 
+  def _tangent(self, m, x: jax.Array, x_ref: jax.Array) -> jax.Array:
+    """x ⊖ x_ref → (2·nv,) tangent (quaternion-aware log map)."""
+    nq = m.nq
+    return jnp.concatenate([
+        local_diff(m, x[:nq], x_ref[:nq]), x[nq:] - x_ref[nq:]])
+
+  def _apply_tangent(self, m, x_ref: jax.Array, dx: jax.Array) -> jax.Array:
+    """x_ref ⊕ dx → (nq+nv,) full state (manifold retraction)."""
+    nq, nv = m.nq, m.nv
+    return jnp.concatenate([
+        retract(m, x_ref[:nq], dx[:nv]), x_ref[nq:] + dx[nv:]])
+
   def _step_xu(self, task: Task, d0: Data, x: jax.Array, u: jax.Array,
                t: jax.Array) -> jax.Array:
-    """x' = f(x, u) through the full physics step."""
+    """x' = f(x, u) through the full physics step. x = (qpos ‖ qvel)."""
     m = task.model
-    nv = m.nv
-    d = d0.replace(qpos=x[:nv], qvel=x[nv:], ctrl=u, time=t)
+    nq = m.nq
+    d = d0.replace(qpos=x[:nq], qvel=x[nq:], ctrl=u, time=t)
     d = phys_step(m, d)
     return jnp.concatenate([d.qpos, d.qvel])
 
   def _cost_expansion(self, task: Task, tp: TaskParams, d0: Data,
                       x: jax.Array, u: jax.Array, t: jax.Array):
-    """Gauss-Newton expansion of the per-step cost about (x, u)."""
+    """Gauss-Newton expansion of the per-step cost in the tangent at (x, u)."""
     m = task.model
-    nv = m.nv
+    nq, nv = m.nq, m.nv
 
-    def res_fn(xu):
-      d = d0.replace(qpos=xu[:nv], qvel=xu[nv:2 * nv], ctrl=xu[2 * nv:],
+    def res_fn(dxu):
+      xf = self._apply_tangent(m, x, dxu[:2 * nv])
+      d = d0.replace(qpos=xf[:nq], qvel=xf[nq:], ctrl=u + dxu[2 * nv:],
                      time=t)
       # residuals read kinematic quantities: recompute them
       from mujoco_mpc_tpu.physics import kinematics, dynamics
@@ -139,11 +149,11 @@ class ILQGPlanner:
       d, _ = dynamics.com_vel(m, d)
       return task.residual(m, d, tp.residual_params)
 
-    xu = jnp.concatenate([x, u])
-    r = res_fn(xu)
-    jr = jax.jacfwd(res_fn)(xu)  # (nres, nx+nu)
+    nxu = 2 * nv + m.nu
+    dxu0 = jnp.zeros(nxu, dtype=x.dtype)
+    r = res_fn(dxu0)
+    jr = jax.jacfwd(res_fn)(dxu0)  # (nres, 2nv+nu)
 
-    nxu = xu.shape[0]
     grad = jnp.zeros(nxu, dtype=x.dtype)
     hess = jnp.zeros((nxu, nxu), dtype=x.dtype)
     shift = 0
@@ -162,16 +172,17 @@ class ILQGPlanner:
 
   # ------------------------------------------------------------------- API
   def init(self, task: Task) -> ILQGPolicy:
-    self._check(task)
     m = task.model
     T = self.config.horizon
-    nx = 2 * m.nv
     dtype = m.qpos0.dtype
     mid = task.default_ctrl()
+    # nominal qpos must be a valid manifold point (unit quaternions) for
+    # the tangent log-map — seed with the model's reference configuration
+    x0 = jnp.concatenate([m.qpos0, jnp.zeros(m.nv, dtype=dtype)])
     return ILQGPolicy(
-        xs=jnp.zeros((T + 1, nx), dtype=dtype),
+        xs=jnp.tile(x0, (T + 1, 1)),
         us=jnp.tile(mid, (T, 1)),
-        gains=jnp.zeros((T, m.nu, nx), dtype=dtype),
+        gains=jnp.zeros((T, m.nu, 2 * m.nv), dtype=dtype),
         t0=jnp.zeros((), dtype=dtype),
         feedback_scale=jnp.asarray(self.config.feedback_scale, dtype=dtype),
         reg=jnp.asarray(self.config.reg, dtype=dtype))
@@ -184,26 +195,24 @@ class ILQGPlanner:
     T = self.config.horizon
     idx = jnp.clip(jnp.floor((data.time - policy.t0) / dt).astype(jnp.int32),
                    0, T - 1)
-    x = self._state(data)
-    u = policy.us[idx] + policy.feedback_scale * (
-        policy.gains[idx] @ (x - policy.xs[idx]))
+    dx = self._tangent(m, self._state(data), policy.xs[idx])
+    u = policy.us[idx] + policy.feedback_scale * (policy.gains[idx] @ dx)
     return jnp.where(m.actuator_ctrllimited,
                      jnp.clip(u, m.actuator_ctrlrange[:, 0],
                               m.actuator_ctrlrange[:, 1]), u)
 
   def _rollout_feedback(self, task: Task, tp: TaskParams, data: Data,
                         xs_ref, us_ref, gains, alpha, k_ff):
-    """Forward pass with u_t = ū_t + α·k_t + K_t (x − x̄_t)."""
+    """Forward pass with u_t = ū_t + α·k_t + K_t (x ⊖ x̄_t)."""
     m = task.model
-    nv = m.nv
     lo, hi = m.actuator_ctrlrange[:, 0], m.actuator_ctrlrange[:, 1]
 
     from mujoco_mpc_tpu.tasks.base import cost_value
 
     def body(d, inp):
       x_ref, u_ref, gain, kf = inp
-      x = jnp.concatenate([d.qpos, d.qvel])
-      u = u_ref + alpha * kf + gain @ (x - x_ref)
+      dx = self._tangent(m, jnp.concatenate([d.qpos, d.qvel]), x_ref)
+      u = u_ref + alpha * kf + gain @ dx
       u = jnp.where(m.actuator_ctrllimited, jnp.clip(u, lo, hi), u)
       d = d.replace(ctrl=u)
       d = phys_step(m, d)
@@ -231,7 +240,6 @@ class ILQGPlanner:
                 rng: jax.Array, params: Optional[TaskParams] = None
                 ) -> Tuple[ILQGPolicy, PlanInfo]:
     del rng
-    self._check(task)
     cfg = self.config
     m = task.model
     tp = params if params is not None else task.params
@@ -251,12 +259,17 @@ class ILQGPlanner:
     #      vmapped jacfwd over time)
     ts = data.time + dt * jnp.arange(T, dtype=data.qpos.dtype)
 
-    def dyn_jac(x, u, t):
-      fx = jax.jacfwd(lambda xx: self._step_xu(task, data, xx, u, t))(x)
-      fu = jax.jacfwd(lambda uu: self._step_xu(task, data, x, uu, t))(u)
-      return fx, fu
+    def dyn_jac(x, x_next, u, t):
+      # tangent-space transition Jacobian: δx' = A δx + B δu where
+      # δx' = f(x ⊕ δx, u+δu) ⊖ x_next (exact-AD mjd_transitionFD analogue)
+      def f(dxu):
+        xf = self._apply_tangent(m, x, dxu[:nx])
+        x2 = self._step_xu(task, data, xf, u + dxu[nx:], t)
+        return self._tangent(m, x2, x_next)
+      j = jax.jacfwd(f)(jnp.zeros(nx + nu, dtype=xs.dtype))
+      return j[:, :nx], j[:, nx:]
 
-    A, B = jax.vmap(dyn_jac)(xs[:-1], us, ts)  # (T,nx,nx), (T,nx,nu)
+    A, B = jax.vmap(dyn_jac)(xs[:-1], xs[1:], us, ts)  # (T,nx,nx), (T,nx,nu)
     cg, ch = jax.vmap(
         lambda x, u, t: self._cost_expansion(task, tp, data, x, u, t)
     )(xs[:-1], us, ts)  # (T, nx+nu), (T, nx+nu, nx+nu)

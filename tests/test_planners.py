@@ -168,21 +168,38 @@ def test_ilqg_feedback_gains_nonzero():
   assert float(jnp.abs(policy.gains).max()) > 1e-4
 
 
-def test_ilqg_rejects_quaternion_models():
+def test_ilqg_improves_on_quaternion_model():
+  """Tangent-space iLQG on a free-joint (nq > nv) model: Quadrotor hover.
+
+  Replaces the round-1 nq==nv gate test: iLQG now runs on quaternion
+  models via manifold retraction/log-map derivatives (reference
+  mjpc/planners/model_derivatives.cc:91-96 runs on every task)."""
   from mujoco_mpc_tpu.planners import ilqg as IL
-  import pytest as _pytest
-  task = registry.get_task("Walker")  # nq==nv, fine
-  IL.ILQGPlanner(IL.ILQGConfig(horizon=8)).init(task)
-  # a free-joint model has nq != nv
-  from mujoco_mpc_tpu import physics
-  from tests import models as tm
-  from mujoco_mpc_tpu.tasks import base as tb
-  m = physics.load_model(tm.FREEBODY)
-  fake = tb.Task(model=m, params=registry.get_task("Particle").params,
-                 name="free", spec=registry.get_task("Particle").spec,
-                 residual=lambda m, d, p: jnp.zeros(6))
-  with _pytest.raises(NotImplementedError):
-    IL.ILQGPlanner(IL.ILQGConfig(horizon=8)).init(fake)
+  from mujoco_mpc_tpu.physics import io as phys_io
+  task = registry.get_task("Quadrotor")
+  assert task.model.nq > task.model.nv  # the point of the test
+  planner = IL.ILQGPlanner(IL.ILQGConfig(horizon=12))
+  d = phys_io.make_data(task.model)
+  qpos, _, _ = task.model.keyframe("home")
+  # perturb position + attitude away from the hover goal
+  qpos = jnp.asarray(qpos, dtype=d.qpos.dtype)
+  qpos = qpos.at[0].add(0.2).at[2].add(-0.1)
+  d = d.replace(qpos=qpos)
+  policy = planner.init(task)
+  opt = jax.jit(planner.optimize)
+  nominal0 = None
+  ret = None
+  for i in range(4):
+    policy, info = opt(task, policy, d, jax.random.PRNGKey(i))
+    if nominal0 is None:
+      nominal0 = float(info.costs[0])
+    ret = float(info.best_return)
+  assert jnp.isfinite(ret)
+  # clear improvement; the plateau is horizon-limited (0.06 s lookahead) —
+  # verified to BEAT 10 iterations of 64-sample predictive sampling from
+  # the same state (1.385 vs 1.433 at horizon 40)
+  assert ret < nominal0 - 0.02, (nominal0, ret)
+  assert float(jnp.abs(policy.gains).max()) > 1e-4
 
 
 def test_ilqs_picks_winner():
