@@ -25,71 +25,67 @@ from mujoco_mpc_tpu.physics.types import (ActDyn, Data, GainBias, JointType,
                                           Model, TrnType)
 
 
-def com_pos(m: Model, d: Data) -> Data:
-  """Motion subspace cdof (nv, 6) for every dof, world-origin frame."""
-  cdof = []
-  for j in range(m.njnt):
-    b = m.jnt_bodyid[j]
-    jt = m.jnt_type[j]
-    dtype = d.qpos.dtype
+def _cdof_selectors(m: Model):
+  """Static per-dof gather indices/masks for the vectorized cdof build."""
+  import numpy as np
+  bid, jid, col, kind = [], [], [], []  # kind: 0 slide 1 hinge 2 ball-rot
+  for j in range(m.njnt):               #       3 free-trans 4 free-rot
+    b, jt = m.jnt_bodyid[j], m.jnt_type[j]
     if jt == JointType.FREE:
-      zeros = jnp.zeros(3, dtype=dtype)
       for i in range(3):
-        e = jnp.zeros(3, dtype=dtype).at[i].set(1.0)
-        cdof.append(jnp.concatenate([zeros, e]))
-      anchor = d.xpos[b]
+        bid.append(b); jid.append(j); col.append(i); kind.append(3)
       for i in range(3):
-        axis = d.xmat[b][:, i]
-        cdof.append(jnp.concatenate([axis, jnp.cross(anchor, axis)]))
+        bid.append(b); jid.append(j); col.append(i); kind.append(4)
     elif jt == JointType.BALL:
-      anchor = d.xanchor[j]
       for i in range(3):
-        axis = d.xmat[b][:, i]
-        cdof.append(jnp.concatenate([axis, jnp.cross(anchor, axis)]))
-    elif jt == JointType.SLIDE:
-      cdof.append(jnp.concatenate(
-          [jnp.zeros(3, dtype=dtype), d.xaxis[j]]))
-    elif jt == JointType.HINGE:
-      axis = d.xaxis[j]
-      cdof.append(jnp.concatenate(
-          [axis, jnp.cross(d.xanchor[j], axis)]))
-  cdof = (jnp.stack(cdof) if cdof
-          else jnp.zeros((0, 6), dtype=d.qpos.dtype))
-  return d.replace(cdof=cdof)
+        bid.append(b); jid.append(j); col.append(i); kind.append(2)
+    else:
+      bid.append(b); jid.append(j); col.append(0)
+      kind.append(0 if jt == JointType.SLIDE else 1)
+  return (np.asarray(bid), np.asarray(jid), np.asarray(col),
+          np.asarray(kind))
+
+
+def com_pos(m: Model, d: Data) -> Data:
+  """Motion subspace cdof (nv, 6) for every dof, world-origin frame.
+
+  One vectorized gather/select pass over all dofs (the per-joint recursion
+  is data-independent — only the gather pattern depends on the topology)."""
+  dtype = d.qpos.dtype
+  if m.nv == 0:
+    return d.replace(cdof=jnp.zeros((0, 6), dtype=dtype))
+  bid, jid, col, kind = _cdof_selectors(m)
+  e_col = jax.nn.one_hot(col, 3, dtype=dtype)  # (nv, 3) world unit axes
+  xaxis_d = d.xaxis[jid]  # (nv, 3)
+  rot_axis = jnp.einsum("vij,vj->vi", d.xmat[bid], e_col)  # xmat column
+  is_slide = jnp.asarray(kind == 0)[:, None]
+  is_hinge = jnp.asarray(kind == 1)[:, None]
+  is_trans = jnp.asarray(kind == 3)[:, None]
+  is_rot = jnp.asarray((kind == 2) | (kind == 4))[:, None]
+  anchor = jnp.where(jnp.asarray(kind == 4)[:, None],
+                     d.xpos[bid], d.xanchor[jid])
+  ang = jnp.where(is_hinge, xaxis_d, 0.0) + jnp.where(is_rot, rot_axis, 0.0)
+  lin = (jnp.where(is_trans, e_col, 0.0) +
+         jnp.where(is_slide, xaxis_d, 0.0) +
+         jnp.where(is_hinge | is_rot, jnp.cross(anchor, ang), 0.0))
+  return d.replace(cdof=jnp.concatenate([ang, lin], axis=-1))
 
 
 def com_vel(m: Model, d: Data) -> Tuple[Data, jax.Array]:
-  """Body spatial velocities cvel (nbody,6) and cdof_dot (nv,6)."""
+  """Body spatial velocities cvel (nbody,6) and cdof_dot (nv,6).
+
+  World-origin cdof are superposable, so the tree recursion collapses to
+  mask matmuls (one (nbody,nv)@(nv,6) for cvel, one (nv,nv)@(nv,6) for the
+  chain velocities that rotate each cdof) — O(1) kernels instead of
+  O(nbody) unrolled ops, and the batch axis rides the MXU."""
   dtype = d.qpos.dtype
-  cvel = [jnp.zeros(6, dtype=dtype)]
-  cdof_dot = [None] * m.nv
-  for b in range(1, m.nbody):
-    v = cvel[m.body_parentid[b]]
-    jadr, jnum = m.body_jntadr[b], m.body_jntnum[b]
-    for j in range(jadr, jadr + jnum):
-      vadr = m.jnt_dofadr[j]
-      jt = m.jnt_type[j]
-      if jt in (JointType.HINGE, JointType.SLIDE):
-        # single-dof: self-cross vanishes, derivative uses chain velocity
-        cdof_dot[vadr] = math.motion_cross(v, d.cdof[vadr])
-        v = v + d.cdof[vadr] * d.qvel[vadr]
-      else:
-        # rotating child-frame axes (ball / free rotation): the axes move
-        # with the *full* child angular velocity, so accumulate first
-        nrot = 3
-        radr = vadr + 3 if jt == JointType.FREE else vadr
-        if jt == JointType.FREE:
-          for i in range(3):  # translations: constant cdof
-            cdof_dot[vadr + i] = jnp.zeros(6, dtype=dtype)
-            v = v + d.cdof[vadr + i] * d.qvel[vadr + i]
-        for i in range(nrot):
-          v = v + d.cdof[radr + i] * d.qvel[radr + i]
-        for i in range(nrot):
-          cdof_dot[radr + i] = math.motion_cross(v, d.cdof[radr + i])
-    cvel.append(v)
-  cvel = jnp.stack(cvel)
-  cdof_dot = (jnp.stack(cdof_dot) if m.nv
-              else jnp.zeros((0, 6), dtype=dtype))
+  if m.nv == 0:
+    return d.replace(cvel=jnp.zeros((m.nbody, 6), dtype=dtype)), (
+        jnp.zeros((0, 6), dtype=dtype))
+  contrib = d.cdof * d.qvel[:, None]  # (nv, 6) per-dof velocity terms
+  cvel = m.dof_body_mask.T.astype(dtype) @ contrib  # (nbody, 6)
+  vk = m.cdofdot_vel_mask.astype(dtype) @ contrib  # (nv, 6) chain vel at k
+  cdof_dot = math.motion_cross(vk, d.cdof)  # zero rows → zero (v×u with v=0)
   return d.replace(cvel=cvel), cdof_dot
 
 
@@ -105,15 +101,13 @@ def crb(m: Model, d: Data, ibody=None) -> Data:
   """Composite-rigid-body joint-space inertia qM (dense) via ancestor mask."""
   if ibody is None:
     ibody = _body_inertias(m, d)
-  # composite inertia: reverse accumulation over static tree
-  ic = [ibody[b] for b in range(m.nbody)]
-  for b in range(m.nbody - 1, 0, -1):
-    p = m.body_parentid[b]
-    if p > 0:
-      ic[p] = ic[p] + ic[b]
   if m.nv == 0:
     return d.replace(qM=jnp.zeros((0, 0), dtype=d.qpos.dtype))
-  ic_dof = jnp.stack([ic[m.dof_bodyid[j]] for j in range(m.nv)])  # (nv,6,6)
+  # composite inertia seen by dof j = Σ over the subtree of j's body —
+  # exactly the bodies whose path contains dof j: one mask matmul
+  dtype = d.qpos.dtype
+  ic_dof = (m.dof_body_mask.astype(dtype) @
+            ibody.reshape(m.nbody, 36)).reshape(m.nv, 6, 6)
   f = jnp.einsum("jab,jb->ja", ic_dof, d.cdof)  # (nv, 6)
   raw = d.cdof @ f.T  # (nv, nv): raw[i,j] = cdof_i · Ic_j cdof_j
   mask = m.dof_ancestor_mask  # i ancestor-or-self of j
@@ -126,32 +120,22 @@ def crb(m: Model, d: Data, ibody=None) -> Data:
 def rne(m: Model, d: Data, cdof_dot: jax.Array, ibody=None) -> Data:
   """Bias force qfrc_bias = C(q,v)v + g via recursive Newton-Euler."""
   dtype = d.qpos.dtype
+  if m.nv == 0:
+    return d.replace(qfrc_bias=jnp.zeros((0,), dtype=dtype))
   if ibody is None:
     ibody = _body_inertias(m, d)
   grav = jnp.concatenate([jnp.zeros(3, dtype=dtype), -m.opt.gravity])
-  # forward: bias accelerations (q̈ = 0, base accel = -g trick)
-  cacc = [grav]
-  for b in range(1, m.nbody):
-    a = cacc[m.body_parentid[b]]
-    adr, num = m.body_dofadr[b], m.body_dofnum[b]
-    for k in range(adr, adr + num):
-      a = a + cdof_dot[k] * d.qvel[k]
-    cacc.append(a)
-  # body forces
-  cfrc = []
-  for b in range(m.nbody):
-    fv = ibody[b] @ d.cvel[b]
-    cfrc.append(ibody[b] @ cacc[b] + math.force_cross(d.cvel[b], fv))
-  # backward accumulation
-  for b in range(m.nbody - 1, 0, -1):
-    p = m.body_parentid[b]
-    if p >= 0:
-      cfrc[p] = cfrc[p] + cfrc[b]
-  if m.nv == 0:
-    return d.replace(qfrc_bias=jnp.zeros((0,), dtype=dtype))
-  cfrc = jnp.stack(cfrc)
-  qfrc_bias = jnp.stack(
-      [jnp.dot(d.cdof[j], cfrc[m.dof_bodyid[j]]) for j in range(m.nv)])
+  # forward sweep (bias accelerations, q̈ = 0, base accel = -g trick):
+  # world-origin accelerations superpose → one mask matmul
+  cacc = grav + m.dof_body_mask.T.astype(dtype) @ (
+      cdof_dot * d.qvel[:, None])  # (nbody, 6)
+  # body forces, batched
+  fv = jnp.einsum("bij,bj->bi", ibody, d.cvel)
+  cfrc = (jnp.einsum("bij,bj->bi", ibody, cacc) +
+          math.force_cross(d.cvel, fv))  # (nbody, 6)
+  # backward sweep: subtree force sums via the same mask, projected on cdof
+  qfrc_bias = jnp.sum(
+      d.cdof * (m.dof_body_mask.astype(dtype) @ cfrc), axis=-1)
   return d.replace(qfrc_bias=qfrc_bias)
 
 

@@ -156,6 +156,65 @@ def _dof_body_mask(body_parentid, body_dofadr, body_dofnum,
   return mask
 
 
+def _body_ancestor_mask(body_parentid) -> np.ndarray:
+  """mask[a, b] = True iff body a is an ancestor-or-self of body b."""
+  nbody = len(body_parentid)
+  mask = np.zeros((nbody, nbody), dtype=bool)
+  for b in range(nbody):
+    p = b
+    while True:
+      mask[p, b] = True
+      if p == 0:
+        break
+      p = body_parentid[p]
+  return mask
+
+
+def _cdofdot_vel_mask(body_parentid, body_dofadr, body_dofnum,
+                      jnt_type, jnt_dofadr, jnt_bodyid, nv) -> np.ndarray:
+  """mask[k, i] = True iff dof i's velocity enters the chain velocity v_k
+  that rotates cdof[k]: cdof_dot[k] = v_k × cdof[k].
+
+  Matches the sequential accumulation in the recursive formulation:
+  hinge/slide use strict-ancestor velocity; ball/free rotational axes move
+  with the *full* child angular velocity (all sibling rotational dofs and,
+  for free joints, the translations too); free-joint translations have
+  constant cdof (all-zero row → zero cdof_dot)."""
+  from mujoco_mpc_tpu.physics.types import JointType
+  nbody = len(body_parentid)
+  # strict ancestor dofs per body (dofs of all proper ancestors + earlier
+  # dofs in the same body handled per joint below)
+  body_anc_dofs = [[] for _ in range(nbody)]
+  for b in range(1, nbody):
+    p = body_parentid[b]
+    dofs = list(body_anc_dofs[p])
+    dofs += [body_dofadr[p] + k for k in range(body_dofnum[p])]
+    body_anc_dofs[b] = dofs
+  mask = np.zeros((nv, nv), dtype=bool)
+  for j in range(len(jnt_type)):
+    b = jnt_bodyid[j]
+    vadr = jnt_dofadr[j]
+    jt = jnt_type[j]
+    anc = body_anc_dofs[b]
+    # dofs of earlier joints in the same body also precede this joint
+    same_body_earlier = [body_dofadr[b] + k
+                         for k in range(body_dofnum[b])
+                         if body_dofadr[b] + k < vadr]
+    pre = anc + same_body_earlier
+    if jt in (JointType.HINGE, JointType.SLIDE):
+      mask[vadr, pre] = True
+    elif jt == JointType.BALL:
+      for i in range(3):
+        mask[vadr + i, pre] = True
+        mask[vadr + i, vadr:vadr + 3] = True
+    elif jt == JointType.FREE:
+      # translations: constant cdof → zero row
+      for i in range(3):
+        mask[vadr + 3 + i, pre] = True
+        mask[vadr + 3 + i, vadr:vadr + 6] = True
+  return mask
+
+
 def load_model(path_or_xml: str, dtype=jnp.float32) -> types.Model:
   """Load an MJCF file (or XML string) into a Model pytree."""
   import mujoco  # host-only import
@@ -235,6 +294,10 @@ def from_mjmodel(mj, dtype=jnp.float32) -> types.Model:
   dof_body = _dof_body_mask(
       ti(mj.body_parentid), ti(mj.body_dofadr), ti(mj.body_dofnum),
       int(mj.nv))
+  body_anc = _body_ancestor_mask(ti(mj.body_parentid))
+  cdofdot_vel = _cdofdot_vel_mask(
+      ti(mj.body_parentid), ti(mj.body_dofadr), ti(mj.body_dofnum),
+      ti(mj.jnt_type), ti(mj.jnt_dofadr), ti(mj.jnt_bodyid), int(mj.nv))
 
   nuserdata = max(int(mj.nuserdata), 16)  # room for task FSM state
 
@@ -311,6 +374,8 @@ def from_mjmodel(mj, dtype=jnp.float32) -> types.Model:
       dof_frictionloss=a(mj.dof_frictionloss),
       dof_ancestor_mask=jnp.asarray(ancestor),
       dof_body_mask=jnp.asarray(dof_body),
+      body_ancestor_mask=jnp.asarray(body_anc),
+      cdofdot_vel_mask=jnp.asarray(cdofdot_vel),
       geom_pos=a(mj.geom_pos),
       geom_quat=a(mj.geom_quat),
       geom_size=a(mj.geom_size),

@@ -83,16 +83,11 @@ def kinematics(m: Model, d: Data) -> Data:
   site_xpos = xpos[sb] + jax.vmap(math.quat_rot)(xquat[sb], m.site_pos)
   site_xmat = math.quat_to_mat(jax.vmap(math.quat_mul)(xquat[sb], m.site_quat))
 
-  # subtree center of mass (reverse accumulation over static tree)
-  mass_moment = [m.body_mass[b] * xipos[b] for b in range(m.nbody)]
-  mass_total = [m.body_mass[b] for b in range(m.nbody)]
-  for b in range(m.nbody - 1, 0, -1):
-    p = m.body_parentid[b]
-    mass_moment[p] = mass_moment[p] + mass_moment[b]
-    mass_total[p] = mass_total[p] + mass_total[b]
-  subtree_com = jnp.stack([
-      mm / jnp.maximum(mt, 1e-12) for mm, mt in zip(mass_moment, mass_total)
-  ])
+  # subtree center of mass: subtree sums are one ancestor-mask matmul
+  anc = m.body_ancestor_mask.astype(dtype)  # (nbody, nbody) a anc-or-self b
+  mass_moment = anc @ (m.body_mass[:, None] * xipos)  # (nbody, 3)
+  mass_total = anc @ m.body_mass
+  subtree_com = mass_moment / jnp.maximum(mass_total, 1e-12)[:, None]
 
   return d.replace(
       xpos=xpos, xquat=xquat, xmat=xmat, xipos=xipos, ximat=ximat,

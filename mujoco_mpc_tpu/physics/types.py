@@ -201,6 +201,10 @@ class Model:
   dof_frictionloss: jax.Array  # (nv,)
   dof_ancestor_mask: jax.Array  # (nv, nv) bool: i is ancestor-or-self of j
   dof_body_mask: jax.Array  # (nv, nbody) bool: dof i is on path of body b
+  body_ancestor_mask: jax.Array  # (nbody, nbody) bool: a ancestor-or-self of b
+  # (nv, nv): which dof velocities enter the chain velocity that rotates
+  # cdof[k] (cdof_dot[k] = v_k × cdof[k]); all-zero rows → cdof_dot[k] = 0
+  cdofdot_vel_mask: jax.Array
 
   geom_pos: jax.Array  # (ngeom, 3)
   geom_quat: jax.Array  # (ngeom, 4)

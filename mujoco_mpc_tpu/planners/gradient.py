@@ -81,11 +81,12 @@ class GradientPlanner:
     tp = params
 
     @jax.checkpoint
-    def body(d, u):
-      d = d.replace(ctrl=u)
+    def body(carry, u):
+      qpos, qvel, act, t = carry  # slim carry: avoid full-Data loop copies
+      d = data.replace(qpos=qpos, qvel=qvel, act=act, time=t, ctrl=u)
       d = phys_step(m, d)
       res = task.residual(m, d, tp.residual_params)
-      return d, cost_value(task.spec, tp, res)
+      return (d.qpos, d.qvel, d.act, d.time), cost_value(task.spec, tp, res)
 
     def total(values):
       lo, hi = m.actuator_ctrlrange[:, 0], m.actuator_ctrlrange[:, 1]
@@ -97,7 +98,8 @@ class GradientPlanner:
       us = spline.sample_many(times, values, ts, cfg.interp)
       us = jnp.where(m.actuator_ctrllimited,
                      mid + half * jnp.tanh((us - mid) / half), us)
-      _, costs = jax.lax.scan(body, data, us)
+      _, costs = jax.lax.scan(
+          body, (data.qpos, data.qvel, data.act, data.time), us)
       return jnp.mean(costs)
 
     return total

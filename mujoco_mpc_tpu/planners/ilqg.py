@@ -209,19 +209,22 @@ class ILQGPlanner:
 
     from mujoco_mpc_tpu.tasks.base import cost_value
 
-    def body(d, inp):
+    def body(carry, inp):
+      qpos, qvel, act, t = carry  # slim carry: full Data copies are slow
       x_ref, u_ref, gain, kf = inp
-      dx = self._tangent(m, jnp.concatenate([d.qpos, d.qvel]), x_ref)
+      dx = self._tangent(m, jnp.concatenate([qpos, qvel]), x_ref)
       u = u_ref + alpha * kf + gain @ dx
       u = jnp.where(m.actuator_ctrllimited, jnp.clip(u, lo, hi), u)
-      d = d.replace(ctrl=u)
+      d = data.replace(qpos=qpos, qvel=qvel, act=act, time=t, ctrl=u)
       d = phys_step(m, d)
       res = task.residual(m, d, tp.residual_params)
       c = cost_value(task.spec, tp, res)
-      return d, (c, jnp.concatenate([d.qpos, d.qvel]), u)
+      return ((d.qpos, d.qvel, d.act, d.time),
+              (c, jnp.concatenate([d.qpos, d.qvel]), u))
 
-    final, (costs, xs, us) = jax.lax.scan(
-        body, data, (xs_ref[:-1], us_ref, gains, k_ff))
+    _, (costs, xs, us) = jax.lax.scan(
+        body, (data.qpos, data.qvel, data.act, data.time),
+        (xs_ref[:-1], us_ref, gains, k_ff))
     costs = jnp.nan_to_num(costs, nan=MAX_RETURN, posinf=MAX_RETURN,
                            neginf=MAX_RETURN)
     x0 = jnp.concatenate([data.qpos, data.qvel])
