@@ -31,6 +31,15 @@ def _chol(m: Model, d: Data):
 
 def forward(m: Model, d: Data, compute_sensors: bool = True) -> Data:
   """Position+velocity+acceleration pipeline; fills qacc and sensordata."""
+  # TPU default matmul precision is bf16: the inertia/Delassus chain loses
+  # enough bits to blow up the contact solve in marginal states (verified
+  # on a captured hard-landing state — f32 steps fine, bf16 NaNs). These
+  # matmuls are tiny (nv ≤ ~60); full f32 costs nothing.
+  with jax.default_matmul_precision("highest"):
+    return _forward(m, d, compute_sensors)
+
+
+def _forward(m: Model, d: Data, compute_sensors: bool = True) -> Data:
   d = kinematics.kinematics(m, d)
   d = dynamics.com_pos(m, d)
   d, cdof_dot = dynamics.com_vel(m, d)
@@ -115,6 +124,11 @@ def inverse(m: Model, d: Data) -> jax.Array:
   direct optimizer penalizes (reference: mjd_inverseFD uses,
   mjpc/direct/direct.cc:1678-1781 — here it is exact and differentiable).
   """
+  with jax.default_matmul_precision("highest"):
+    return _inverse(m, d)
+
+
+def _inverse(m: Model, d: Data) -> jax.Array:
   d = kinematics.kinematics(m, d)
   d = dynamics.com_pos(m, d)
   d, cdof_dot = dynamics.com_vel(m, d)

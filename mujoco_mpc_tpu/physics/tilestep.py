@@ -1,0 +1,834 @@
+"""Tile-layout physics step: the megakernel's compute body.
+
+TPU-first formulation of one semi-implicit Euler step for the "scalar-joint"
+model class (hinge/slide joints, joint-transmission actuators, plane-sphere/
+plane-capsule contacts, scalar joint limits). Every physical scalar is an
+array with TRAILING batch dims `bshape` (one (8,128) f32 tile per scalar on
+TPU = 1024 candidates at 100% VPU lane utilization); model constants are
+baked in as numpy at build time, so the whole step traces to straight-line
+vector code with zero gathers and zero dynamic shapes — the layout Pallas/
+Mosaic wants (see pallas guide: tiling constraints).
+
+Semantics mirror physics/{kinematics,dynamics,solver,step}.py (which are
+oracle-tested against MuJoCo); equivalence is pinned by
+tests/test_megarollout.py. Replaces the reference's mj_step calls inside
+Trajectory::Rollout (mjpc/trajectory.cc:141-180) on the planner hot path.
+
+The same code runs under plain XLA (bshape=() gives per-sample scalar code)
+— used for CPU oracle tests — and inside a Pallas kernel (ops/megarollout).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from types import SimpleNamespace
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mujoco_mpc_tpu.physics.types import (ActDyn, GainBias, GeomType,
+                                          JointType, Model, TrnType)
+
+_ITERATIONS = 20  # must match physics/solver.py
+_RELAX = 0.3
+_MINIMP, _MAXIMP = 1e-4, 0.9999
+_DEFAULT_SOLIMP = (0.9, 0.95, 0.001, 0.5, 2.0)
+
+
+class UnsupportedModel(Exception):
+  """Model is outside the megakernel's supported class."""
+
+
+# ---------------------------------------------------------------------------
+# build-time extraction: all model constants as concrete numpy
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class ConPoint:
+  """One static candidate contact point (collision.py pair expansion)."""
+  kind: str  # 'plane_sphere' | 'plane_capend' | 'sphere_sphere'
+  #            | 'sphere_cap' | 'cap_cap'
+  g1: int
+  g2: int
+  body1: int
+  body2: int
+  sign: float  # ±1 capsule-end selector (plane_capend)
+  r1: float
+  r2: float
+  half1: float
+  half2: float
+  frame: Optional[np.ndarray]  # (3,3) constant frame for plane contacts
+  ppos: Optional[np.ndarray]  # (3,) plane point
+  mu: float
+  solref: np.ndarray
+  solimp: np.ndarray
+  margin: float
+
+
+@dataclasses.dataclass
+class TileModel:
+  """Concrete (numpy) model constants for the supported class."""
+  nq: int
+  nv: int
+  nu: int
+  nbody: int
+  njnt: int
+  timestep: float
+  gravity: np.ndarray  # (3,)
+  body_parentid: tuple
+  body_pos: np.ndarray
+  body_quat: np.ndarray
+  body_ipos: np.ndarray
+  body_iquat: np.ndarray
+  body_mass: np.ndarray
+  body_inertia: np.ndarray
+  jnt_type: tuple
+  jnt_qposadr: tuple
+  jnt_dofadr: tuple
+  jnt_bodyid: tuple
+  jnt_pos: np.ndarray
+  jnt_axis: np.ndarray
+  body_jntadr: tuple
+  body_jntnum: tuple
+  qpos0: np.ndarray
+  dof_damping: np.ndarray
+  dof_armature: np.ndarray
+  dof_body_mask: np.ndarray  # (nv, nbody) bool
+  dof_ancestor_mask: np.ndarray  # (nv, nv)
+  # actuators (scalar joint transmission)
+  act_vadr: np.ndarray  # (nu,) dof index
+  act_qadr: np.ndarray  # (nu,)
+  act_gear: np.ndarray  # (nu,)
+  act_gainprm: np.ndarray  # (nu, 3)
+  act_biasprm: np.ndarray  # (nu, 3)
+  act_gain_fixed: np.ndarray  # (nu,) bool
+  act_bias_fixed: np.ndarray  # (nu,) bool
+  ctrl_limited: np.ndarray  # (nu,) bool
+  ctrl_lo: np.ndarray
+  ctrl_hi: np.ndarray
+  force_limited: np.ndarray
+  force_lo: np.ndarray
+  force_hi: np.ndarray
+  # contacts: static candidate contact points (ConPoint descriptors)
+  con_points: tuple
+  geom_bodyid: tuple
+  geom_pos: np.ndarray
+  geom_quat: np.ndarray
+  # limits
+  lim_jnt: tuple  # joint ids (two rows each: lo, hi)
+  lim_qadr: tuple
+  lim_vadr: tuple
+  lim_lo: tuple
+  lim_hi: tuple
+  lim_margin: tuple
+  lim_solref: np.ndarray  # (nlim_jnt, 2)
+  # geoms/sites needed by residuals
+  ngeom: int
+  nsite: int
+  site_bodyid: tuple
+  site_pos: np.ndarray
+  site_quat: np.ndarray
+
+  @property
+  def ncon(self) -> int:
+    return len(self.con_points)
+
+  @property
+  def nlim(self) -> int:
+    return 2 * len(self.lim_jnt)
+
+  @property
+  def nrow(self) -> int:
+    return 3 * self.ncon + self.nlim
+
+
+def extract(m: Model) -> TileModel:
+  """Concretize a Model into a TileModel; raises UnsupportedModel."""
+
+  def npy(x):
+    return np.asarray(x)
+
+  for jt in m.jnt_type:
+    if jt not in (JointType.HINGE, JointType.SLIDE):
+      raise UnsupportedModel("only hinge/slide joints")
+  if m.na != 0:
+    raise UnsupportedModel("stateful actuators")
+  if m.nmocap != 0 and any(mid >= 0 for mid in m.body_mocapid):
+    raise UnsupportedModel("mocap bodies")
+  if m.opt.has_fluid:
+    raise UnsupportedModel("fluid forces")
+  if m.has_spring or m.has_frictionloss:
+    raise UnsupportedModel("joint springs/frictionloss")
+
+  # actuators: scalar joint transmissions only
+  for u in range(m.nu):
+    if m.actuator_trntype[u] != TrnType.JOINT:
+      raise UnsupportedModel("non-joint transmission")
+    if m.actuator_dyntype[u] != ActDyn.NONE:
+      raise UnsupportedModel("actuator dynamics")
+
+  # contacts: static pointwise expansion of the supported pairs
+  con_points = []
+  geom_xpos0, geom_xmat0 = _static_geom_frames(m)
+  for g1, g2 in m.collision_pairs:
+    t1, t2 = GeomType(m.geom_type[g1]), GeomType(m.geom_type[g2])
+    b1, b2 = m.geom_bodyid[g1], m.geom_bodyid[g2]
+    gs = npy(m.geom_size)
+    common = dict(
+        g1=g1, g2=g2, body1=b1, body2=b2,
+        r1=float(gs[g1, 0]), r2=float(gs[g2, 0]),
+        half1=float(gs[g1, 1]), half2=float(gs[g2, 1]),
+        mu=float(max(npy(m.geom_friction)[g1, 0],
+                     npy(m.geom_friction)[g2, 0])),
+        solref=0.5 * (npy(m.geom_solref)[g1] + npy(m.geom_solref)[g2]),
+        solimp=0.5 * (npy(m.geom_solimp)[g1] + npy(m.geom_solimp)[g2]),
+        margin=float(max(npy(m.geom_margin)[g1], npy(m.geom_margin)[g2])),
+    )
+    if t1 == GeomType.PLANE:
+      if b1 != 0:
+        raise UnsupportedModel("plane on moving body")
+      n = geom_xmat0[g1][:, 2]
+      t1v = (np.array([1.0, 0, 0]) if abs(n[0]) < 0.5
+             else np.array([0, 1.0, 0]))
+      t1v = np.cross(n, t1v)
+      t1v = t1v / np.linalg.norm(t1v)
+      # float32: float64 numpy scalars would silently promote the whole
+      # tile computation under jax x64 (oracle-test config)
+      frame = np.stack([n, t1v, np.cross(n, t1v)]).astype(np.float32)
+      if t2 == GeomType.SPHERE:
+        con_points.append(ConPoint(kind="plane_sphere", sign=0.0,
+                                   frame=frame, ppos=geom_xpos0[g1],
+                                   **common))
+      elif t2 in (GeomType.CAPSULE, GeomType.CYLINDER):
+        for sgn in (-1.0, 1.0):
+          con_points.append(ConPoint(kind="plane_capend", sign=sgn,
+                                     frame=frame, ppos=geom_xpos0[g1],
+                                     **common))
+      else:
+        raise UnsupportedModel(f"pair {t1}/{t2}")
+    elif (t1, t2) == (GeomType.SPHERE, GeomType.SPHERE):
+      con_points.append(ConPoint(kind="sphere_sphere", sign=0.0,
+                                 frame=None, ppos=None, **common))
+    elif (t1, t2) == (GeomType.SPHERE, GeomType.CAPSULE):
+      con_points.append(ConPoint(kind="sphere_cap", sign=0.0,
+                                 frame=None, ppos=None, **common))
+    elif (t1, t2) == (GeomType.CAPSULE, GeomType.CAPSULE):
+      con_points.append(ConPoint(kind="cap_cap", sign=0.0,
+                                 frame=None, ppos=None, **common))
+    else:
+      raise UnsupportedModel(f"pair {t1}/{t2}")
+
+  lim = [j for j in range(m.njnt) if m.jnt_limited[j]]
+  jr = npy(m.jnt_range)
+
+  return TileModel(
+      nq=m.nq, nv=m.nv, nu=m.nu, nbody=m.nbody, njnt=m.njnt,
+      timestep=float(m.opt.timestep),
+      gravity=npy(m.opt.gravity),
+      body_parentid=tuple(m.body_parentid),
+      body_pos=npy(m.body_pos), body_quat=npy(m.body_quat),
+      body_ipos=npy(m.body_ipos), body_iquat=npy(m.body_iquat),
+      body_mass=npy(m.body_mass), body_inertia=npy(m.body_inertia),
+      jnt_type=tuple(m.jnt_type), jnt_qposadr=tuple(m.jnt_qposadr),
+      jnt_dofadr=tuple(m.jnt_dofadr), jnt_bodyid=tuple(m.jnt_bodyid),
+      jnt_pos=npy(m.jnt_pos), jnt_axis=npy(m.jnt_axis),
+      body_jntadr=tuple(m.body_jntadr), body_jntnum=tuple(m.body_jntnum),
+      qpos0=npy(m.qpos0),
+      dof_damping=npy(m.dof_damping), dof_armature=npy(m.dof_armature),
+      dof_body_mask=npy(m.dof_body_mask),
+      dof_ancestor_mask=npy(m.dof_ancestor_mask),
+      act_vadr=np.asarray([m.jnt_dofadr[m.actuator_trnid[u]]
+                           for u in range(m.nu)], np.int32),
+      act_qadr=np.asarray([m.jnt_qposadr[m.actuator_trnid[u]]
+                           for u in range(m.nu)], np.int32),
+      act_gear=npy(m.actuator_gear)[:, 0] if m.nu else np.zeros(0),
+      act_gainprm=npy(m.actuator_gainprm),
+      act_biasprm=npy(m.actuator_biasprm),
+      act_gain_fixed=np.asarray(
+          [t == GainBias.FIXED for t in m.actuator_gaintype]),
+      act_bias_fixed=np.asarray(
+          [t == GainBias.FIXED for t in m.actuator_biastype]),
+      ctrl_limited=npy(m.actuator_ctrllimited),
+      ctrl_lo=npy(m.actuator_ctrlrange)[:, 0] if m.nu else np.zeros(0),
+      ctrl_hi=npy(m.actuator_ctrlrange)[:, 1] if m.nu else np.zeros(0),
+      force_limited=npy(m.actuator_forcelimited),
+      force_lo=npy(m.actuator_forcerange)[:, 0] if m.nu else np.zeros(0),
+      force_hi=npy(m.actuator_forcerange)[:, 1] if m.nu else np.zeros(0),
+      con_points=tuple(con_points),
+      geom_bodyid=tuple(m.geom_bodyid),
+      geom_pos=npy(m.geom_pos), geom_quat=npy(m.geom_quat),
+      lim_jnt=tuple(lim),
+      lim_qadr=tuple(m.jnt_qposadr[j] for j in lim),
+      lim_vadr=tuple(m.jnt_dofadr[j] for j in lim),
+      lim_lo=tuple(float(jr[j, 0]) for j in lim),
+      lim_hi=tuple(float(jr[j, 1]) for j in lim),
+      lim_margin=tuple(float(npy(m.jnt_margin)[j]) for j in lim),
+      lim_solref=(np.stack([npy(m.jnt_solref)[j] for j in lim])
+                  if lim else np.zeros((0, 2))),
+      ngeom=m.ngeom, nsite=m.nsite,
+      site_bodyid=tuple(m.site_bodyid),
+      site_pos=npy(m.site_pos), site_quat=npy(m.site_quat),
+  )
+
+
+def _static_geom_frames(m: Model):
+  """World pose of geoms on the world body (numpy, build time)."""
+  xpos = {g: np.asarray(m.geom_pos)[g] for g in range(m.ngeom)}
+  xmat = {}
+  for g in range(m.ngeom):
+    q = np.asarray(m.geom_quat)[g]
+    w, x, y, z = q
+    xmat[g] = np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ])
+  return xpos, xmat
+
+
+# ---------------------------------------------------------------------------
+# tile math: component-leading, batch-trailing
+# ---------------------------------------------------------------------------
+
+
+def _quat_mul(q1, q2):
+  """(4,*b) x (4,*b) -> (4,*b). Either arg may be a (4,) numpy constant."""
+  w1, x1, y1, z1 = q1[0], q1[1], q1[2], q1[3]
+  w2, x2, y2, z2 = q2[0], q2[1], q2[2], q2[3]
+  return jnp.stack([
+      w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+      w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+      w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+      w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+  ])
+
+
+def _quat_rot(q, v):
+  """Rotate v by quaternion q (4,*b). v may be a (3,) numpy constant or a
+  (3,*b) tile stack — components are combined scalar-wise so constants fold
+  into the kernel as literals (Pallas rejects captured array constants)."""
+  w = q[0]
+  u = q[1:]
+  uv = _cross(u, v)
+  uuv = _cross(u, uv)
+  return jnp.stack([v[k] + 2.0 * (w * uv[k] + uuv[k]) for k in range(3)])
+
+
+def _cross(a, b):
+  return jnp.stack([
+      a[1] * b[2] - a[2] * b[1],
+      a[2] * b[0] - a[0] * b[2],
+      a[0] * b[1] - a[1] * b[0],
+  ])
+
+
+def _dot3(a, b):
+  return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+
+def _quat_to_mat(q):
+  """(4,*b) -> (3,3,*b)."""
+  w, x, y, z = q[0], q[1], q[2], q[3]
+  return jnp.stack([
+      jnp.stack([1 - 2 * (y * y + z * z), 2 * (x * y - w * z),
+                 2 * (x * z + w * y)]),
+      jnp.stack([2 * (x * y + w * z), 1 - 2 * (x * x + z * z),
+                 2 * (y * z - w * x)]),
+      jnp.stack([2 * (x * z - w * y), 2 * (y * z + w * x),
+                 1 - 2 * (x * x + y * y)]),
+  ])
+
+
+def _axis_angle_quat(axis_const: np.ndarray, angle):
+  """(3,) const axis + (*b) angle -> (4,*b) quaternion."""
+  half = 0.5 * angle
+  s = jnp.sin(half)
+  return jnp.stack([jnp.cos(half), axis_const[0] * s, axis_const[1] * s,
+                    axis_const[2] * s])
+
+
+def _chol_factor_tb(a, n, eps=1e-12):
+  """Cholesky of (n,n,*b) SPD, unrolled with static masks (cf ops/linalg)."""
+  l = [[None] * n for _ in range(n)]
+  for j in range(n):
+    s = a[j, j]
+    for k in range(j):
+      s = s - l[j][k] * l[j][k]
+    ljj = jnp.sqrt(jnp.maximum(s, eps))
+    inv = 1.0 / ljj
+    l[j][j] = ljj
+    for i in range(j + 1, n):
+      r = a[i, j]
+      for k in range(j):
+        r = r - l[i][k] * l[j][k]
+      l[i][j] = r * inv
+  return l
+
+
+def _chol_solve_tb(l, b, n):
+  """Solve L Lᵀ x = b with b a python list of n tiles; returns list."""
+  y = [None] * n
+  for i in range(n):
+    acc = b[i]
+    for k in range(i):
+      acc = acc - l[i][k] * y[k]
+    y[i] = acc / l[i][i]
+  x = [None] * n
+  for i in reversed(range(n)):
+    acc = y[i]
+    for k in range(i + 1, n):
+      acc = acc - l[k][i] * x[k]
+    x[i] = acc / l[i][i]
+  return x
+
+
+def _impedance(pos, solimp: np.ndarray):
+  """MuJoCo impedance sigmoid with constant solimp (mirrors solver.py)."""
+  d0, d1, width, mid, power = (float(solimp[0]), float(solimp[1]),
+                               float(solimp[2]), float(solimp[3]),
+                               float(solimp[4]))
+  mid = min(max(mid, 1e-4), 1 - 1e-4)
+  power = max(power, 1.0)
+  x = jnp.clip(jnp.abs(pos) / max(width, 1e-12), 0.0, 1.0)
+  y_lo = jnp.power(x / mid, power) * mid
+  y_hi = 1.0 - jnp.power((1 - x) / (1 - mid), power) * (1 - mid)
+  y = jnp.where(x < mid, y_lo, y_hi)
+  return jnp.clip(d0 + y * (d1 - d0), _MINIMP, _MAXIMP)
+
+
+def _kb(solref: np.ndarray, dmax: float) -> Tuple[float, float]:
+  """Constant stiffness/damping from constant solref (solver.py:_kb)."""
+  tc, dr = max(float(solref[0]), 1e-8), max(float(solref[1]), 1e-8)
+  if solref[0] <= 0 and solref[1] <= 0:
+    return -float(solref[0]) / dmax ** 2, -float(solref[1]) / dmax
+  return 1.0 / (dmax * dmax * tc * tc * dr * dr), 2.0 / (dmax * tc)
+
+
+# ---------------------------------------------------------------------------
+# the step
+# ---------------------------------------------------------------------------
+
+
+def step_tb(tm: TileModel, qpos, qvel, ctrl):
+  """One physics step in tile layout.
+
+  Args:
+    qpos: (nq, *b); qvel: (nv, *b); ctrl: (nu, *b).
+  Returns:
+    (qpos2, qvel2, view) with view a SimpleNamespace carrying the derived
+    quantities task residuals read (xpos, xmat, xquat, site_xpos, qpos,
+    qvel, ctrl — component-leading, batch-trailing).
+  """
+  nv, nbody = tm.nv, tm.nbody
+  h = tm.timestep
+  b = qpos.shape[1:]
+  dtype = qpos.dtype
+  # Pallas rejects captured ARRAY constants: every tile must be derived
+  # from kernel inputs, every model constant must enter as a scalar literal
+  zero = qpos[0] * 0.0
+  one_c = lambda v: np.asarray(v, dtype=np.float32)
+
+  # ---- forward kinematics (kinematics.py semantics, scalar joints)
+  xpos = [jnp.stack([zero, zero, zero])]
+  xquat = [jnp.stack([zero + 1.0, zero, zero, zero])]
+  xanchor = [None] * tm.njnt
+  xaxis = [None] * tm.njnt
+  for bd in range(1, nbody):
+    p = tm.body_parentid[bd]
+    quat = _quat_mul(xquat[p], one_c(tm.body_quat[bd]))
+    pos = xpos[p] + _quat_rot(xquat[p], one_c(tm.body_pos[bd]))
+    jadr, jnum = tm.body_jntadr[bd], tm.body_jntnum[bd]
+    for j in range(jadr, jadr + jnum):
+      qadr = tm.jnt_qposadr[j]
+      ax = one_c(tm.jnt_axis[j])
+      jp = one_c(tm.jnt_pos[j])
+      anchor = pos + _quat_rot(quat, jp)
+      if tm.jnt_type[j] == JointType.SLIDE:
+        pos = pos + _quat_rot(quat, ax) * (
+            qpos[qadr] - float(tm.qpos0[qadr]))
+      else:  # HINGE
+        angle = qpos[qadr] - float(tm.qpos0[qadr])
+        quat = _quat_mul(quat, _axis_angle_quat(ax, angle))
+        pos = anchor - _quat_rot(quat, jp)
+      xanchor[j] = anchor
+      xaxis[j] = _quat_rot(quat, ax)
+    xpos.append(pos)
+    xquat.append(quat)
+
+  xmat = [_quat_to_mat(q) for q in xquat]  # (3,3,*b) each
+  xipos = [xpos[bd] + _quat_rot(xquat[bd], one_c(tm.body_ipos[bd]))
+           for bd in range(nbody)]
+  ximat = [_quat_to_mat(_quat_mul(xquat[bd], one_c(tm.body_iquat[bd])))
+           for bd in range(nbody)]
+
+  # ---- cdof (world-origin motion subspace) per dof: (6 tiles)
+  cdof = []  # list of (ang(3,*b), lin(3,*b))
+  for j in range(tm.njnt):
+    if tm.jnt_type[j] == JointType.SLIDE:
+      cdof.append((jnp.stack([zero, zero, zero]), xaxis[j]))
+    else:
+      cdof.append((xaxis[j], _cross(xanchor[j], xaxis[j])))
+
+  # ---- body spatial velocities + cdof_dot (dynamics.com_vel semantics)
+  dof_of_body = [[] for _ in range(nbody)]
+  for j in range(tm.njnt):
+    dof_of_body[tm.jnt_bodyid[j]].append(tm.jnt_dofadr[j])
+  zero3 = jnp.stack([zero, zero, zero])
+  cvel = [(zero3, zero3)]
+  cdof_dot = [None] * nv
+  for bd in range(1, nbody):
+    va, vl = cvel[tm.body_parentid[bd]]
+    for k in dof_of_body[bd]:
+      ca, cl = cdof[k]
+      # motion cross of chain velocity with cdof (hinge/slide: pre-update v)
+      dot_a = _cross(va, ca)
+      dot_l = _cross(va, cl) + _cross(vl, ca)
+      cdof_dot[k] = (dot_a, dot_l)
+      va = va + ca * qvel[k]
+      vl = vl + cl * qvel[k]
+    cvel.append((va, vl))
+
+  # ---- spatial inertia about world origin per body (6x6 blocks):
+  #      [[Iw + m C Cᵀ, m C], [m Cᵀ, m 1]],  C = skew(com)
+  ibody = []  # (Itop (3,3,*b), com (3,*b), mass float)
+  for bd in range(nbody):
+    R = ximat[bd]
+    Idiag = one_c(tm.body_inertia[bd])
+    # Iw = R diag(I) Rᵀ
+    Iw = jnp.stack([
+        jnp.stack([sum(R[i, k] * Idiag[k] * R[jj, k] for k in range(3))
+                   for jj in range(3)]) for i in range(3)])
+    ibody.append((Iw, xipos[bd], float(tm.body_mass[bd])))
+
+  def inert_mul(Iw, com, mass, va, vl):
+    # spatial inertia times motion: I_o = [[Iw + m CCᵀ, mC], [mCᵀ, m]]
+    # with C = skew(c): CCᵀ = -C C, so (m CCᵀ) va = -m c×(c×va)
+    ang = (jnp.stack([sum(Iw[i, k] * va[k] for k in range(3))
+                      for i in range(3)])
+           - mass * _cross(com, _cross(com, va)) + mass * _cross(com, vl))
+    # Cᵀ va = -c×va
+    lin = -mass * _cross(com, va) + mass * vl
+    return ang, lin
+
+  # ---- CRB: composite inertias (reverse accumulation in python)
+  comp_mc = [ibody[bd][2] * ibody[bd][1] for bd in range(nbody)]
+  comp_m = [ibody[bd][2] for bd in range(nbody)]
+  # CCᵀ terms must compose per-body BEFORE summation: accumulate the full
+  # 3x3 top-left block per body instead.
+  def topleft(Iw, com, mass):
+    # Iw + m CCᵀ = Iw - m [c]×[c]×
+    cx, cy, cz = com[0], com[1], com[2]
+    cc = jnp.stack([
+        jnp.stack([cy * cy + cz * cz, -cx * cy, -cx * cz]),
+        jnp.stack([-cx * cy, cx * cx + cz * cz, -cy * cz]),
+        jnp.stack([-cx * cz, -cy * cz, cx * cx + cy * cy]),
+    ])
+    return Iw + mass * cc
+
+  comp_TL = [topleft(*ibody[bd]) for bd in range(nbody)]
+  for bd in range(nbody - 1, 0, -1):
+    p = tm.body_parentid[bd]
+    if p > 0:
+      comp_TL[p] = comp_TL[p] + comp_TL[bd]
+      comp_mc[p] = comp_mc[p] + comp_mc[bd]
+      comp_m[p] = comp_m[p] + comp_m[bd]
+
+  def comp_mul(bd, va, vl):
+    """Composite spatial inertia of subtree(bd) times motion [va; vl]."""
+    TL, mc, mm = comp_TL[bd], comp_mc[bd], comp_m[bd]
+    ang = (jnp.stack([sum(TL[i, k] * va[k] for k in range(3))
+                      for i in range(3)]) + _cross(mc, vl))
+    lin = -_cross(mc, va) + mm * vl
+    return ang, lin
+
+  dof_body = [None] * nv
+  for j in range(tm.njnt):
+    dof_body[tm.jnt_dofadr[j]] = tm.jnt_bodyid[j]
+
+  # qM[i, j] = cdof_i · (IC_j cdof_j) for i ancestor-or-self of j
+  f_dof = [comp_mul(dof_body[j], cdof[j][0], cdof[j][1]) for j in range(nv)]
+  anc = tm.dof_ancestor_mask
+  qM = {}  # upper-triangular entries (i <= j) on the ancestor sparsity
+  for j in range(nv):
+    fa, fl = f_dof[j]
+    for i in range(j + 1):
+      if anc[i, j]:
+        qM[(i, j)] = _dot3(cdof[i][0], fa) + _dot3(cdof[i][1], fl)
+
+  # ---- RNE bias (q̈=0, base accel = −g)
+  g = tm.gravity
+  cacc = [(zero3, jnp.stack([zero - float(g[0]), zero - float(g[1]),
+                             zero - float(g[2])]))]
+  for bd in range(1, nbody):
+    aa, al = cacc[tm.body_parentid[bd]]
+    for k in dof_of_body[bd]:
+      da, dl = cdof_dot[k]
+      aa = aa + da * qvel[k]
+      al = al + dl * qvel[k]
+    cacc.append((aa, al))
+  cfrc = []
+  for bd in range(nbody):
+    Iw, com, mass = ibody[bd]
+    va, vl = cvel[bd]
+    fa_v, fl_v = inert_mul(Iw, com, mass, va, vl)
+    fa_a, fl_a = inert_mul(Iw, com, mass, *cacc[bd])
+    # force cross: v ×* f = [ω×f_ang + v_lin×f_lin ; ω×f_lin]
+    fa = fa_a + _cross(va, fa_v) + _cross(vl, fl_v)
+    fl = fl_a + _cross(va, fl_v)
+    cfrc.append((fa, fl))
+  # backward accumulation
+  cfa = [f[0] for f in cfrc]
+  cfl = [f[1] for f in cfrc]
+  for bd in range(nbody - 1, 0, -1):
+    p = tm.body_parentid[bd]
+    cfa[p] = cfa[p] + cfa[bd]
+    cfl[p] = cfl[p] + cfl[bd]
+  qfrc_bias = [
+      _dot3(cdof[k][0], cfa[dof_body[k]]) + _dot3(cdof[k][1], cfl[dof_body[k]])
+      for k in range(nv)]
+
+  # ---- passive + actuation
+  qfrc_passive = [-float(tm.dof_damping[k]) * qvel[k] for k in range(nv)]
+  qfrc_act = [zero for _ in range(nv)]
+  for u in range(tm.nu):
+    c = ctrl[u]
+    if tm.ctrl_limited[u]:
+      c = jnp.clip(c, float(tm.ctrl_lo[u]), float(tm.ctrl_hi[u]))
+    gear = float(tm.act_gear[u])
+    length = gear * qpos[int(tm.act_qadr[u])]
+    velocity = gear * qvel[int(tm.act_vadr[u])]
+    gp = tm.act_gainprm[u]
+    if tm.act_gain_fixed[u]:
+      gain = float(gp[0])
+    else:
+      gain = float(gp[0]) + float(gp[1]) * length + float(gp[2]) * velocity
+    bp = tm.act_biasprm[u]
+    if tm.act_bias_fixed[u]:
+      bias = 0.0
+    else:
+      bias = float(bp[0]) + float(bp[1]) * length + float(bp[2]) * velocity
+    force = gain * c + bias
+    if tm.force_limited[u]:
+      force = jnp.clip(force, float(tm.force_lo[u]), float(tm.force_hi[u]))
+    k = int(tm.act_vadr[u])
+    qfrc_act[k] = qfrc_act[k] + gear * force
+
+  # ---- implicit-damping inertia factor
+  mimp = {}
+  for (i, j), v in qM.items():
+    mimp[(i, j)] = v
+  for k in range(nv):
+    mimp[(k, k)] = (mimp[(k, k)] + float(tm.dof_armature[k]) +
+                    h * float(tm.dof_damping[k]))
+  # armature belongs in qM proper too (used only via mimp here)
+  a_full = jnp.stack([
+      jnp.stack([mimp.get((min(i, jj), max(i, jj)),
+                          zero) for jj in range(nv)])
+      for i in range(nv)])
+  L = _chol_factor_tb(a_full, nv)
+
+  qfrc_smooth = [qfrc_passive[k] + qfrc_act[k] - qfrc_bias[k]
+                 for k in range(nv)]
+  qacc_smooth = _chol_solve_tb(L, qfrc_smooth, nv)
+
+  # ---- contacts + limits → constraint solve (solver.py semantics)
+  ncon, nlim, nrow = tm.ncon, tm.nlim, tm.nrow
+  qfrc_constraint = [zero for _ in range(nv)]
+  if nrow:
+    rows_J = []  # per row: list of nv tiles (or 0.0 consts)
+    rows_pos = []
+    rows_aref = []
+    rows_active = []
+    rows_diagref = []  # (imp,) per row for regularization
+    rows_k, rows_b, rows_imp = [], [], []
+
+    def geom_frame(g):
+      bg = tm.geom_bodyid[g]
+      gpos = xpos[bg] + _quat_rot(xquat[bg], one_c(tm.geom_pos[g]))
+      gquat = _quat_mul(xquat[bg], one_c(tm.geom_quat[g]))
+      return gpos, gquat
+
+    def geom_axis(gquat):
+      gmat = _quat_to_mat(gquat)
+      return jnp.stack([gmat[0, 2], gmat[1, 2], gmat[2, 2]])
+
+    def frame_from_normal(n):
+      """Tile version of collision._frame_from_normal: (3 row tiles)."""
+      use_x = jnp.abs(n[0]) < 0.5
+      ref = jnp.stack([jnp.where(use_x, zero + 1.0, zero),
+                       jnp.where(use_x, zero, zero + 1.0),
+                       zero])
+      t1 = _cross(n, ref)
+      t1 = t1 / jnp.sqrt(jnp.maximum(_dot3(t1, t1), 1e-24))
+      return n, t1, _cross(n, t1)
+
+    for ci in range(ncon):
+      cp = tm.con_points[ci]
+      if cp.kind in ("plane_sphere", "plane_capend"):
+        gpos, gquat = geom_frame(cp.g2)
+        if cp.kind == "plane_sphere":
+          end = gpos
+        else:
+          end = gpos + cp.sign * cp.half2 * geom_axis(gquat)
+        n_c = cp.frame[0]
+        r = cp.r2
+        dist = (float(n_c[0]) * (end[0] - float(cp.ppos[0])) +
+                float(n_c[1]) * (end[1] - float(cp.ppos[1])) +
+                float(n_c[2]) * (end[2] - float(cp.ppos[2]))) - r
+        scale = r + 0.5 * dist
+        cpos = jnp.stack([end[k] - float(n_c[k]) * scale for k in range(3)])
+        frame = tuple(cp.frame[row] for row in range(3))  # numpy rows
+      else:
+        p1, q1 = geom_frame(cp.g1)
+        p2, q2 = geom_frame(cp.g2)
+        if cp.kind == "sphere_sphere":
+          c1, c2 = p1, p2
+        elif cp.kind == "sphere_cap":
+          u2 = geom_axis(q2)
+          t = jnp.clip(_dot3(p1 - p2, u2), -cp.half2, cp.half2)
+          c1, c2 = p1, p2 + t * u2
+        else:  # cap_cap (collision._capsule_capsule, smooth clamped)
+          u1, u2 = geom_axis(q1), geom_axis(q2)
+          rvec = p2 - p1
+          uu = _dot3(u1, u2)
+          ru1, ru2 = _dot3(rvec, u1), _dot3(rvec, u2)
+          det = jnp.maximum(1.0 - uu * uu, 1e-9)
+          t1c = jnp.clip((ru1 - uu * ru2) / det, -cp.half1, cp.half1)
+          t2c = jnp.clip(_dot3(p1 + t1c * u1 - p2, u2), -cp.half2, cp.half2)
+          t1c = jnp.clip(_dot3(p2 + t2c * u2 - p1, u1), -cp.half1, cp.half1)
+          c1 = p1 + t1c * u1
+          c2 = p2 + t2c * u2
+        delta = c2 - c1
+        dn = jnp.sqrt(jnp.maximum(_dot3(delta, delta), 1e-24))
+        n = delta / dn
+        dist = dn - (cp.r1 + cp.r2)
+        cpos = c1 + n * (cp.r1 + 0.5 * dist)
+        frame = frame_from_normal(n)
+      dist = dist - cp.margin
+
+      active = dist < 0
+      imp = _impedance(dist, cp.solimp)
+      kk, bb = _kb(cp.solref, float(cp.solimp[1]))
+      path1 = tm.dof_body_mask[:, cp.body1]
+      path2 = tm.dof_body_mask[:, cp.body2]
+      # relative-velocity jacobian sign per dof (solver._contact_jacobian)
+      sgn_k = [float(path2[k]) - float(path1[k]) for k in range(nv)]
+      for row in range(3):
+        fr = frame[row]
+        Jrow = []
+        for k in range(nv):
+          if sgn_k[k] != 0.0:
+            ca, cl = cdof[k]
+            jp = cl + _cross(ca, cpos)
+            Jrow.append(sgn_k[k] * _dot3(fr, jp))
+          else:
+            Jrow.append(None)
+        rows_J.append(Jrow)
+        rows_pos.append(jnp.minimum(dist, 0.0) if row == 0 else zero)
+        rows_active.append(active)
+        rows_imp.append(imp)
+        rows_k.append(kk)
+        rows_b.append(bb)
+
+    for li, j in enumerate(tm.lim_jnt):
+      q = qpos[tm.lim_qadr[li]]
+      imp_si = np.asarray(_DEFAULT_SOLIMP)
+      kk, bb = _kb(tm.lim_solref[li], float(imp_si[1]))
+      for side in range(2):
+        if side == 0:
+          posv = q - tm.lim_lo[li] - tm.lim_margin[li]
+          sgn = 1.0
+        else:
+          posv = tm.lim_hi[li] - q - tm.lim_margin[li]
+          sgn = -1.0
+        Jrow = [None] * nv
+        Jrow[tm.lim_vadr[li]] = zero + sgn
+        rows_J.append(Jrow)
+        rows_pos.append(jnp.minimum(posv, 0.0))
+        rows_active.append(posv < 0)
+        rows_imp.append(_impedance(posv, imp_si))
+        rows_k.append(kk)
+        rows_b.append(bb)
+
+    # stacked constraint algebra: Js (nrow, nv, *b). The per-scalar style
+    # used above is latency-bound on TPU (single-tile dependency chains);
+    # from here on every op carries the whole (nrow, nv) payload.
+    Js = jnp.stack([
+        jnp.stack([rows_J[r_i][k] if rows_J[r_i][k] is not None else zero
+                   for k in range(nv)])
+        for r_i in range(nrow)])  # (nrow, nv, *b)
+
+    # aref = −imp (k · pos_term + b · J q̇); per-row k/b are python floats
+    vel_r = sum(Js[:, k] * qvel[k] for k in range(nv))  # (nrow, *b)
+    kpos = jnp.stack([rows_k[r_i] * rows_pos[r_i] for r_i in range(nrow)])
+    b_r = jnp.stack([rows_b[r_i] * vel_r[r_i] for r_i in range(nrow)])
+    imp_s = jnp.stack(rows_imp)
+    aref_s = -imp_s * (kpos + b_r)
+
+    # X = M⁻¹ Jᵀ via one multi-RHS masked-unrolled solve (payload = rows)
+    X = _chol_solve_tb(L, [Js[:, k] for k in range(nv)], nv)  # nv×(nrow,*b)
+
+    # Delassus A[r, c] = Σ_k J[r, k] X[k][c]: nv fused outer products
+    amat = sum(Js[:, k][:, None] * X[k][None, :] for k in range(nv))
+    diag = jnp.clip(jnp.stack([amat[r_i, r_i] for r_i in range(nrow)]),
+                    1e-10, None)
+    reg = (1.0 - imp_s) / imp_s * diag
+    a0 = sum(Js[:, k] * qacc_smooth[k] for k in range(nv))
+    active_s = jnp.stack(rows_active)
+    mu = np.asarray([cp.mu for cp in tm.con_points], dtype=np.float32)
+
+    def project(f):
+      if ncon:
+        fc = f[:3 * ncon].reshape((ncon, 3) + b)
+        fn = jnp.maximum(fc[:, 0], 0.0)
+        ft1, ft2 = fc[:, 1], fc[:, 2]
+        tsq = ft1 * ft1 + ft2 * ft2
+        tnorm = jnp.sqrt(jnp.where(tsq < 1e-24, 1.0, tsq))
+        tnorm = jnp.where(tsq < 1e-24, 0.0, tnorm)
+        cap = jnp.stack([float(mu[ci]) * fn[ci] for ci in range(ncon)])
+        scale = jnp.where(tnorm > cap, cap / jnp.maximum(tnorm, 1e-12), 1.0)
+        fcon = jnp.stack([fn, ft1 * scale, ft2 * scale],
+                         axis=1).reshape((3 * ncon,) + b)
+        f = jnp.concatenate([fcon, jnp.maximum(f[3 * ncon:], 0.0)])
+      else:
+        f = jnp.maximum(f, 0.0)
+      return jnp.where(active_s, f, 0.0)
+
+    dinv = 1.0 / (diag + reg)
+    f0 = project((aref_s - a0) * dinv)
+
+    def pgs_body(_, f):
+      r = a0 + jnp.sum(amat * f[None], axis=1) - aref_s
+      return project(f - _RELAX * r * dinv)
+
+    f = jax.lax.fori_loop(0, _ITERATIONS, pgs_body, f0)
+
+    qfc = jnp.sum(Js * f[:, None], axis=0)  # (nv, *b)
+    qfrc_constraint = [qfc[k] for k in range(nv)]
+
+  # ---- integrate (semi-implicit Euler, implicit damping in the factor)
+  qacc = _chol_solve_tb(
+      L, [qfrc_smooth[k] + qfrc_constraint[k] for k in range(nv)], nv)
+  qvel2 = jnp.stack([qvel[k] + h * qacc[k] for k in range(nv)])
+  qpos2 = qpos + h * qvel2  # scalar joints only
+
+  # site frames for residuals
+  site_xpos = []
+  for s in range(tm.nsite):
+    bs = tm.site_bodyid[s]
+    site_xpos.append(xpos[bs] + _quat_rot(xquat[bs],
+                                           one_c(tm.site_pos[s])))
+
+  view = SimpleNamespace(
+      qpos=qpos2, qvel=qvel2, ctrl=ctrl,
+      qacc=jnp.stack(qacc),
+      xpos=jnp.stack(xpos),  # NOTE: pre-step frames (cost one stage apart,
+      xquat=jnp.stack(xquat),  # same convention as ops/rollout docstring)
+      xmat=jnp.stack(xmat),
+      site_xpos=(jnp.stack(site_xpos) if site_xpos
+                 else jnp.zeros((0, 3) + b, dtype=dtype)),  # unused if empty
+  )
+  return qpos2, qvel2, view

@@ -64,10 +64,22 @@ class SamplingConfig:
 class SamplingPlanner:
   """Functional predictive-sampling planner."""
 
-  def __init__(self, config: SamplingConfig):
+  def __init__(self, config: SamplingConfig, use_megakernel: bool = True):
     self.config = config
+    self.use_megakernel = use_megakernel
+    self._mega = None
 
   def init(self, task: Task) -> SamplingPolicy:
+    # attempt the whole-rollout Pallas megakernel for this concrete task
+    # (ops/megarollout.py); requires concrete model constants → built here,
+    # outside jit. Falls back to the general vmap path when unsupported.
+    if (self.use_megakernel and self._mega is None and
+        self.config.num_trajectories % 128 == 0 and
+        jax.default_backend() == "tpu"):  # Mosaic lowering is TPU-only
+      from mujoco_mpc_tpu.ops import megarollout
+      # try_build returns None for unsupported models AND when `task`
+      # holds tracers (init called under jit — constants unavailable)
+      self._mega = megarollout.try_build(task, self.config.horizon)
     m = task.model
     k = self.config.spline_points
     dt = m.opt.timestep
@@ -133,14 +145,24 @@ class SamplingPlanner:
                       jnp.clip(cands, lo, hi), cands)
 
     # 3. batched rollouts (the reference's ThreadPool fan-out,
-    #    planner.cc:355-393, as one vmap)
-    def ret(values):
-      policy_fn = lambda t, d: spline.sample(new_times, values, t,
-                                             cfg.interp)
-      return rollout_mod.rollout_return(task, data, policy_fn, cfg.horizon,
-                                        params)
+    #    planner.cc:355-393): whole-rollout Pallas megakernel when the
+    #    model qualifies (ops/megarollout.py), general vmap otherwise
+    if self._mega is not None and data.qpos.ndim == 1 and n % 128 == 0:
+      ts = data.time + jnp.arange(
+          cfg.horizon, dtype=nominal.dtype) * m.opt.timestep
+      actions = jax.vmap(
+          lambda v: spline.sample_many(new_times, v, ts, cfg.interp))(cands)
+      returns = self._mega.returns(
+          data.qpos, data.qvel, actions,
+          params if params is not None else task.params, data.time)
+    else:
+      def ret(values):
+        policy_fn = lambda t, d: spline.sample(new_times, values, t,
+                                               cfg.interp)
+        return rollout_mod.rollout_return(task, data, policy_fn,
+                                          cfg.horizon, params)
 
-    returns = jax.vmap(ret)(cands)
+      returns = jax.vmap(ret)(cands)
     resampled = policy.replace(times=new_times, values=nominal)
     return resampled, cands, returns
 
