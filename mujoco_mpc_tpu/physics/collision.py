@@ -167,6 +167,31 @@ def _capsule_box(p1, m1, p2, m2, s1, s2):
   return out
 
 
+def _box_box(p1, m1, p2, m2, s1, s2):
+  """Dual 8-corner point queries: 16 candidate points, static shapes.
+
+  Each corner of either box is tested as a zero-radius sphere against the
+  other box (vertex-face contacts both ways). Edge-edge pairs are not
+  generated — adequate for the resting/stacking/manipulation scenes the
+  tasks need (the reference gets MuJoCo's full SAT mjc_BoxBox for free);
+  deep edge penetrations resolve one step later via the corner set.
+  """
+  out = []
+  for sx in (-1.0, 1.0):
+    for sy in (-1.0, 1.0):
+      for sz in (-1.0, 1.0):
+        sgnv = jnp.asarray([sx, sy, sz], dtype=s1.dtype)
+        # corner of box2 in box1: normal comes out pointing g2→g1, flip
+        c2 = p2 + m2 @ (s2 * sgnv)
+        dist, pos, n = _sphere_box_point(c2, 0.0, p1, m1, s1)
+        out.append((dist, pos, -n))
+        # corner of box1 in box2: already g1→g2
+        c1 = p1 + m1 @ (s1 * sgnv)
+        dist, pos, n = _sphere_box_point(c1, 0.0, p2, m2, s2)
+        out.append((dist, pos, n))
+  return out
+
+
 _DISPATCH = {
     (GeomType.PLANE, GeomType.SPHERE): _plane_sphere,
     (GeomType.PLANE, GeomType.CAPSULE): _plane_capsule,
@@ -178,6 +203,7 @@ _DISPATCH = {
     (GeomType.SPHERE, GeomType.BOX): _sphere_box,
     (GeomType.CAPSULE, GeomType.CAPSULE): _capsule_capsule,
     (GeomType.CAPSULE, GeomType.BOX): _capsule_box,
+    (GeomType.BOX, GeomType.BOX): _box_box,
 }
 
 
@@ -188,6 +214,8 @@ def npoints(m: Model) -> int:
     t1, t2 = GeomType(m.geom_type[g1]), GeomType(m.geom_type[g2])
     if t1 == GeomType.PLANE and t2 == GeomType.BOX:
       total += 8
+    elif t1 == GeomType.BOX and t2 == GeomType.BOX:
+      total += 16
     elif t1 == GeomType.PLANE and t2 in (GeomType.CAPSULE, GeomType.CYLINDER):
       total += 2
     elif t1 == GeomType.CAPSULE and t2 == GeomType.BOX:

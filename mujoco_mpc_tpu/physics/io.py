@@ -25,6 +25,7 @@ _SUPPORTED_PAIRS = {
     (types.GeomType.SPHERE, types.GeomType.BOX),
     (types.GeomType.CAPSULE, types.GeomType.CAPSULE),
     (types.GeomType.CAPSULE, types.GeomType.BOX),
+    (types.GeomType.BOX, types.GeomType.BOX),
 }
 
 

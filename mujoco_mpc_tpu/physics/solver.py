@@ -74,33 +74,54 @@ def _contact_jacobian(m: Model, d: Data) -> jax.Array:
 
 
 def _limit_rows(m: Model, d: Data):
-  """Two-sided limit rows for limited scalar joints.
+  """Limit rows: two-sided for scalar joints, rotation-angle for ball.
 
-  The Jacobian rows are compile-time constants (±e_vadr); positions are a
-  single gather — no per-joint op chains in the hot loop.
+  Scalar-joint Jacobian rows are compile-time constants (±e_vadr); ball
+  joints get one row with the data-dependent Jacobian −axis(rotvec) on
+  their 3 dofs (MuJoCo convention: range[1] bounds the rotation angle).
   """
   import numpy as np
+  from mujoco_mpc_tpu.physics import math as pmath
 
   lim = [j for j in range(m.njnt)
          if m.jnt_limited[j] and
          m.jnt_type[j] in (JointType.HINGE, JointType.SLIDE)]
-  if not lim:
+  ball = [j for j in range(m.njnt)
+          if m.jnt_limited[j] and m.jnt_type[j] == JointType.BALL]
+  if not lim and not ball:
     return None
   dtype = d.qpos.dtype
-  nl = len(lim)
-  jmat_np = np.zeros((2 * nl, m.nv), dtype=np.float32)
-  for i, j in enumerate(lim):
-    jmat_np[2 * i, m.jnt_dofadr[j]] = 1.0
-    jmat_np[2 * i + 1, m.jnt_dofadr[j]] = -1.0
-  qadr = jnp.asarray([m.jnt_qposadr[j] for j in lim], dtype=jnp.int32)
-  jidx = jnp.asarray(lim, dtype=jnp.int32)
-  q = d.qpos[qadr]
-  lo = m.jnt_range[jidx, 0]
-  hi = m.jnt_range[jidx, 1]
-  margin = m.jnt_margin[jidx]
-  pos = jnp.stack([q - lo - margin, hi - q - margin], axis=-1).reshape(-1)
-  solref = jnp.repeat(m.jnt_solref[jidx], 2, axis=0)
-  return (jnp.asarray(jmat_np, dtype=dtype), pos, solref)
+  jmats, poss, solrefs = [], [], []
+  if lim:
+    nl = len(lim)
+    jmat_np = np.zeros((2 * nl, m.nv), dtype=np.float32)
+    for i, j in enumerate(lim):
+      jmat_np[2 * i, m.jnt_dofadr[j]] = 1.0
+      jmat_np[2 * i + 1, m.jnt_dofadr[j]] = -1.0
+    qadr = jnp.asarray([m.jnt_qposadr[j] for j in lim], dtype=jnp.int32)
+    jidx = jnp.asarray(lim, dtype=jnp.int32)
+    q = d.qpos[qadr]
+    lo = m.jnt_range[jidx, 0]
+    hi = m.jnt_range[jidx, 1]
+    margin = m.jnt_margin[jidx]
+    jmats.append(jnp.asarray(jmat_np, dtype=dtype))
+    poss.append(jnp.stack([q - lo - margin, hi - q - margin],
+                          axis=-1).reshape(-1))
+    solrefs.append(jnp.repeat(m.jnt_solref[jidx], 2, axis=0))
+  for j in ball:
+    qadr, vadr = m.jnt_qposadr[j], m.jnt_dofadr[j]
+    quat = d.qpos[qadr:qadr + 4]
+    rotvec = pmath.quat_sub(
+        quat, jnp.asarray([1.0, 0, 0, 0], dtype=dtype))
+    ang = jnp.linalg.norm(rotvec)
+    axis = rotvec / jnp.maximum(ang, 1e-9)
+    row = jnp.zeros((m.nv,), dtype=dtype)
+    row = jax.lax.dynamic_update_slice(row, -axis, (vadr,))
+    jmats.append(row[None])
+    poss.append((m.jnt_range[j, 1] - ang - m.jnt_margin[j])[None])
+    solrefs.append(m.jnt_solref[j][None])
+  return (jnp.concatenate(jmats), jnp.concatenate(poss),
+          jnp.concatenate(solrefs))
 
 
 def solve(m: Model, d: Data, qacc_smooth: jax.Array,

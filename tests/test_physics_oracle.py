@@ -216,3 +216,64 @@ def test_domain_randomized_batched_models():
   assert np.all(np.isfinite(np.asarray(angles)))
   # heavier bobs hang lower under the same torque: outcomes must differ
   assert float(jnp.std(angles)) > 0.01
+
+
+def test_box_stacks_on_box():
+  """Box-box narrowphase (dual 8-corner): a box dropped on a resting box
+  must come to rest on top (prerequisite for the manipulation family;
+  reference gets MuJoCo mjc_BoxBox for free)."""
+  xml = """
+  <mujoco>
+    <compiler angle="radian"/>
+    <option timestep="0.005"/>
+    <worldbody>
+      <geom name="floor" type="plane" size="2 2 .1"/>
+      <body name="base" pos="0 0 0.1">
+        <freejoint/>
+        <geom type="box" size="0.15 0.15 0.1" mass="2"/>
+      </body>
+      <body name="top" pos="0.03 0.02 0.33">
+        <freejoint/>
+        <geom type="box" size="0.08 0.08 0.08" mass="0.5"/>
+      </body>
+    </worldbody>
+  </mujoco>"""
+  m = physics.load_model(xml, dtype=jnp.float64)
+  d = physics.make_data(m)
+  step = jax.jit(physics.step)
+  for _ in range(2000):
+    d = step(m, d)
+  z_base = float(d.qpos[2])
+  z_top = float(d.qpos[9])
+  assert 0.05 < z_base < 0.14, f"base z={z_base}"
+  # top box rests ON the base: z ≈ base_top(0.2) + half(0.08)
+  assert 0.2 < z_top < 0.33, f"top z={z_top}"
+  assert float(jnp.linalg.norm(d.qvel)) < 0.3
+
+
+def test_ball_joint_limit_holds():
+  """Ball-joint rotation-angle limit (prerequisite for dexterous hands:
+  reference relies on MuJoCo ball limits, mjc model conventions)."""
+  xml = """
+  <mujoco>
+    <compiler angle="radian"/>
+    <option timestep="0.002" gravity="0 0 -9.81"/>
+    <worldbody>
+      <body pos="0 0 1">
+        <joint name="b" type="ball" limited="true" range="0 0.5"
+               damping="0.05"/>
+        <geom type="capsule" fromto="0 0 0 0.4 0 0" size="0.04" mass="1"/>
+      </body>
+    </worldbody>
+  </mujoco>"""
+  m = physics.load_model(xml, dtype=jnp.float64)
+  d = physics.make_data(m)
+  step = jax.jit(physics.step)
+  for _ in range(3000):
+    d = step(m, d)
+  # gravity torques the arm down; without the limit it would hang at
+  # angle ~pi/2. The rotation angle must stop near the 0.5 rad limit.
+  quat = np.asarray(d.qpos[0:4])
+  ang = 2 * np.arccos(min(abs(quat[0]), 1.0))
+  assert ang < 0.62, f"ball rotation {ang} rad exceeded the 0.5 limit"
+  assert ang > 0.35, f"arm did not fall to the limit (ang={ang})"
