@@ -50,11 +50,13 @@ def _register_all():
   from mujoco_mpc_tpu.tasks import arm_reach  # noqa: F401
   from mujoco_mpc_tpu.tasks import cartpole  # noqa: F401
   from mujoco_mpc_tpu.tasks import fingers  # noqa: F401
+  from mujoco_mpc_tpu.tasks import hand_reorient  # noqa: F401
   from mujoco_mpc_tpu.tasks import humanoid  # noqa: F401
   from mujoco_mpc_tpu.tasks import particle  # noqa: F401
   from mujoco_mpc_tpu.tasks import push  # noqa: F401
   from mujoco_mpc_tpu.tasks import quadrotor  # noqa: F401
   from mujoco_mpc_tpu.tasks import quadruped  # noqa: F401
+  from mujoco_mpc_tpu.tasks import rubik  # noqa: F401
   from mujoco_mpc_tpu.tasks import swimmer  # noqa: F401
   from mujoco_mpc_tpu.tasks import walker  # noqa: F401
 
