@@ -18,16 +18,18 @@ import jax.numpy as jnp
 
 
 class NormType(enum.IntEnum):
-  """Values match the reference XML convention (sensor user[0])."""
+  """Values match the reference XML convention (sensor user[0]),
+  including the gap at 4 the reference keeps for backward compatibility
+  (mjpc/norm.h:24-36) — reference task XMLs parse unchanged."""
   NULL = -1
   QUADRATIC = 0
   L22 = 1
   L2 = 2
   COSH = 3
-  POWER_LOSS = 4
-  SMOOTH_ABS = 5
-  SMOOTH_ABS2 = 6
-  RECTIFY = 7
+  POWER_LOSS = 5
+  SMOOTH_ABS = 6
+  SMOOTH_ABS2 = 7
+  RECTIFY = 8
 
 
 def num_norm_params(norm: NormType) -> int:
