@@ -209,20 +209,114 @@ _DISPATCH = {
 
 def npoints(m: Model) -> int:
   """Total static contact-point count for the model's candidate pairs."""
-  total = 0
+  slots = pair_slots(m)
+  return slots[-1][0] + slots[-1][1] if slots else 0
+
+
+def _hfield_sample(m: Model, x, y):
+  """Bilinear height + gradient of hfield 0 at local (x, y)."""
+  rx, ry = m.hfield_size[0], m.hfield_size[1]
+  nr, nc = m.hfield_nrow, m.hfield_ncol
+  fx = jnp.clip((x + rx) / (2.0 * rx) * (nc - 1), 0.0, nc - 1 - 1e-6)
+  fy = jnp.clip((y + ry) / (2.0 * ry) * (nr - 1), 0.0, nr - 1 - 1e-6)
+  ix = jnp.floor(fx).astype(jnp.int32)
+  iy = jnp.floor(fy).astype(jnp.int32)
+  tx, ty = fx - ix, fy - iy
+  g = m.hfield_data
+  h00 = g[iy, ix]
+  h01 = g[iy, ix + 1]
+  h10 = g[iy + 1, ix]
+  h11 = g[iy + 1, ix + 1]
+  h = (h00 * (1 - tx) * (1 - ty) + h01 * tx * (1 - ty) +
+       h10 * (1 - tx) * ty + h11 * tx * ty)
+  dhdx = ((h01 - h00) * (1 - ty) + (h11 - h10) * ty) * (nc - 1) / (2.0 * rx)
+  dhdy = ((h10 - h00) * (1 - tx) + (h11 - h01) * tx) * (nr - 1) / (2.0 * ry)
+  return h, dhdx, dhdy
+
+
+def _hfield_point(m, hp, hm, point, radius):
+  """Contact of a sphere (point, radius) against hfield 0 (local-plane
+  approximation from the bilinear surface gradient)."""
+  local = hm.T @ (point - hp)
+  h, gx, gy = _hfield_sample(m, local[0], local[1])
+  n_local = jnp.stack([-gx, -gy, jnp.ones_like(gx)])
+  n_local = n_local / jnp.linalg.norm(n_local)
+  dist = (local[2] - h) * n_local[2] - radius
+  n = hm @ n_local  # hfield → other geom (points "uphill")
+  pos = point - n * (radius + 0.5 * dist)
+  return dist, pos, n
+
+
+def _hfield_sphere(m, hp, hm, sp, sm, ssize):
+  return [_hfield_point(m, hp, hm, sp, ssize[0])]
+
+
+def _hfield_capsule(m, hp, hm, cp, cm, csize):
+  out = []
+  for sgn in (-1.0, 1.0):
+    end = cp + sgn * csize[1] * cm[:, 2]
+    out.append(_hfield_point(m, hp, hm, end, csize[0]))
+  return out
+
+
+def _hfield_box(m, hp, hm, bp, bm, bsize):
+  out = []
+  for sx in (-1.0, 1.0):
+    for sy in (-1.0, 1.0):
+      for sz in (-1.0, 1.0):
+        corner = bp + bm @ (jnp.asarray([sx, sy, sz],
+                                        dtype=bsize.dtype) * bsize)
+        out.append(_hfield_point(m, hp, hm, corner, 0.0))
+  return out
+
+
+_HFIELD_DISPATCH = {
+    GeomType.SPHERE: _hfield_sphere,
+    GeomType.CAPSULE: _hfield_capsule,
+    GeomType.BOX: _hfield_box,
+}
+
+
+def pair_slots(m: Model):
+  """Static map pair-index → (slot_start, slot_count) into Contact arrays.
+
+  Contact rows are laid out densely in `m.collision_pairs` order with a
+  per-type-pair point count (see `npoints`); tasks use this to read the
+  contact rows of a specific geom pair (e.g. finger↔object normals for the
+  ALOHA grasp residual, reference mjpc/tasks/bimanual/handover/handover.cc:
+  57-124 which scans mjData.contact instead)."""
+  slots = []
+  start = 0
   for g1, g2 in m.collision_pairs:
     t1, t2 = GeomType(m.geom_type[g1]), GeomType(m.geom_type[g2])
-    if t1 == GeomType.PLANE and t2 == GeomType.BOX:
-      total += 8
+    if t1 in (GeomType.PLANE, GeomType.HFIELD) and t2 == GeomType.BOX:
+      count = 8
     elif t1 == GeomType.BOX and t2 == GeomType.BOX:
-      total += 16
-    elif t1 == GeomType.PLANE and t2 in (GeomType.CAPSULE, GeomType.CYLINDER):
-      total += 2
+      count = 16
+    elif t1 in (GeomType.PLANE, GeomType.HFIELD) and t2 in (
+        GeomType.CAPSULE, GeomType.CYLINDER):
+      count = 2
     elif t1 == GeomType.CAPSULE and t2 == GeomType.BOX:
-      total += 2
+      count = 2
     else:
-      total += 1
-  return total
+      count = 1
+    slots.append((start, count))
+    start += count
+  return tuple(slots)
+
+
+def geom_pair_slots(m: Model, ga: int, gb: int):
+  """(slot_start, slot_count, sign) for the candidate pair {ga, gb}.
+
+  sign = +1 if contact normals point ga→gb (pair stored as (ga, gb)),
+  -1 if stored flipped. Raises KeyError if the pair is not a candidate."""
+  slots = pair_slots(m)
+  for i, (g1, g2) in enumerate(m.collision_pairs):
+    if (g1, g2) == (ga, gb):
+      return slots[i] + (1.0,)
+    if (g1, g2) == (gb, ga):
+      return slots[i] + (-1.0,)
+  raise KeyError(f"geom pair ({ga}, {gb}) is not a collision candidate")
 
 
 def collide(m: Model, d: Data) -> Data:
@@ -232,9 +326,14 @@ def collide(m: Model, d: Data) -> Data:
       [], [], [], [], [], [], [], [])
   for g1, g2 in m.collision_pairs:
     t1, t2 = GeomType(m.geom_type[g1]), GeomType(m.geom_type[g2])
-    fn = _DISPATCH[(t1, t2)]
-    pts = fn(d.geom_xpos[g1], d.geom_xmat[g1], d.geom_xpos[g2],
-             d.geom_xmat[g2], m.geom_size[g1], m.geom_size[g2])
+    if t1 == GeomType.HFIELD:
+      pts = _HFIELD_DISPATCH[t2](
+          m, d.geom_xpos[g1], d.geom_xmat[g1], d.geom_xpos[g2],
+          d.geom_xmat[g2], m.geom_size[g2])
+    else:
+      fn = _DISPATCH[(t1, t2)]
+      pts = fn(d.geom_xpos[g1], d.geom_xmat[g1], d.geom_xpos[g2],
+               d.geom_xmat[g2], m.geom_size[g1], m.geom_size[g2])
     fric = jnp.maximum(m.geom_friction[g1, 0], m.geom_friction[g2, 0])
     solref = 0.5 * (m.geom_solref[g1] + m.geom_solref[g2])
     solimp = 0.5 * (m.geom_solimp[g1] + m.geom_solimp[g2])

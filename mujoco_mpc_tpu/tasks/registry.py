@@ -33,12 +33,17 @@ def get_task(name: str, dtype=jnp.float32) -> base.Task:
   return _FACTORIES[name](dtype=dtype)
 
 
-def load_task_model(xml_name: str, dtype=jnp.float32):
-  """(Model, CostSpec, TaskParams, param_names) from tasks/models/ MJCF."""
+def load_task_model(xml_name: str, dtype=jnp.float32, mutate=None):
+  """(Model, CostSpec, TaskParams, param_names) from tasks/models/ MJCF.
+
+  `mutate(mj_model)` may edit the parsed mujoco.MjModel before conversion
+  (e.g. fill procedural hfield elevation data)."""
   import mujoco
 
   path = os.path.join(_MODEL_DIR, xml_name)
   mj_model = mujoco.MjModel.from_xml_path(path)
+  if mutate is not None:
+    mutate(mj_model)
   model = phys_io.from_mjmodel(mj_model, dtype=dtype)
   spec, params, names = base.parse_cost_spec_mj(mj_model, model, dtype=dtype)
   return model, spec, params, names
@@ -48,6 +53,8 @@ def load_task_model(xml_name: str, dtype=jnp.float32):
 def _register_all():
   from mujoco_mpc_tpu.tasks import acrobot  # noqa: F401
   from mujoco_mpc_tpu.tasks import arm_reach  # noqa: F401
+  from mujoco_mpc_tpu.tasks import bimanual  # noqa: F401
+  from mujoco_mpc_tpu.tasks import bring  # noqa: F401
   from mujoco_mpc_tpu.tasks import cartpole  # noqa: F401
   from mujoco_mpc_tpu.tasks import fingers  # noqa: F401
   from mujoco_mpc_tpu.tasks import hand_reorient  # noqa: F401
