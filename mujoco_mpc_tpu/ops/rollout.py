@@ -26,6 +26,14 @@ MAX_RETURN = 1e6
 PolicyFn = Callable[[jax.Array, Data], jax.Array]  # (time, data) -> ctrl
 
 
+def _scale(task, m, d, tp):
+  """State-dependent (nterm,) weight multiplier, or None (Task.weight_mod,
+  the pure analogue of reference Transition weight mutation)."""
+  if task.weight_mod is None:
+    return None
+  return task.weight_mod(m, d, tp.residual_params)
+
+
 class RolloutResult(NamedTuple):
   total_return: jax.Array  # () mean per-step cost (risk-transformed)
   costs: jax.Array  # (T,)
@@ -55,7 +63,7 @@ def rollout(task: task_base.Task, d0: Data, policy_fn: PolicyFn,
       d = task.transition(m, d, tp.residual_params)
       d = _phys_step(m, d)
       res = task.residual(m, d, tp.residual_params)
-      cost = task_base.cost_value(task.spec, tp, res)
+      cost = task_base.cost_value(task.spec, tp, res, _scale(task, m, d, tp))
       return d, (cost, d.qpos, res)
 
     final, (costs, qpos, residuals) = jax.lax.scan(
@@ -71,7 +79,7 @@ def rollout(task: task_base.Task, d0: Data, policy_fn: PolicyFn,
       action = policy_fn(t, d)
       d = _phys_step(m, d.replace(ctrl=action))
       res = task.residual(m, d, tp.residual_params)
-      cost = task_base.cost_value(task.spec, tp, res)
+      cost = task_base.cost_value(task.spec, tp, res, _scale(task, m, d, tp))
       return (d.qpos, d.qvel, d.act, d.time), (cost, d.qpos, res)
 
     carry, (costs, qpos, residuals) = jax.lax.scan(
@@ -122,11 +130,13 @@ def noisy_rollout(task: task_base.Task, d0: Data, policy_fn: PolicyFn,
     action = policy_fn(t, d)
     d = _phys_step(m, d.replace(ctrl=action, xfrc_applied=ou))
     res = task.residual(m, d, tp.residual_params)
-    cost = task_base.cost_value(task.spec, tp, res)
+    cost = task_base.cost_value(task.spec, tp, res, _scale(task, m, d, tp))
     return (d.qpos, d.qvel, d.act, d.time, ou), cost
 
   keys = jax.random.split(rng, horizon)
-  ou0 = jnp.zeros((m.nbody, 6), dtype=d0.qpos.dtype)
+  # inherit d0's varying-manual-axes type so the scan carry is consistent
+  # when this runs inside a shard_map shard (see parallel/mesh.py)
+  ou0 = jnp.zeros((m.nbody, 6), dtype=d0.qpos.dtype) + 0.0 * d0.qpos[0]
   _, costs = jax.lax.scan(
       body, (d0.qpos, d0.qvel, d0.act, d0.time, ou0), keys)
   costs = jnp.nan_to_num(costs, nan=MAX_RETURN, posinf=MAX_RETURN,

@@ -26,6 +26,9 @@ _SUPPORTED_PAIRS = {
     (types.GeomType.CAPSULE, types.GeomType.CAPSULE),
     (types.GeomType.CAPSULE, types.GeomType.BOX),
     (types.GeomType.BOX, types.GeomType.BOX),
+    (types.GeomType.HFIELD, types.GeomType.SPHERE),
+    (types.GeomType.HFIELD, types.GeomType.CAPSULE),
+    (types.GeomType.HFIELD, types.GeomType.BOX),
 }
 
 
@@ -57,6 +60,7 @@ def _sensor_type_map(mujoco):
       int(s.mjSENS_TOUCH): types.SensorType.TOUCH,
       int(s.mjSENS_ACCELEROMETER): types.SensorType.ACCELEROMETER,
       int(s.mjSENS_GYRO): types.SensorType.GYRO,
+      int(s.mjSENS_SUBTREEANGMOM): types.SensorType.SUBTREEANGMOM,
       int(s.mjSENS_USER): types.SensorType.USER,
   }
 
@@ -336,6 +340,9 @@ def from_mjmodel(mj, dtype=jnp.float32) -> types.Model:
       dof_jntid=ti(mj.dof_jntid),
       geom_type=ti(mj.geom_type),
       geom_bodyid=ti(mj.geom_bodyid),
+      geom_dataid=ti(mj.geom_dataid),
+      hfield_nrow=int(mj.hfield_nrow[0]) if mj.nhfield else 0,
+      hfield_ncol=int(mj.hfield_ncol[0]) if mj.nhfield else 0,
       geom_names=_names(mj, mj.name_geomadr, mj.ngeom, "geom"),
       collision_pairs=_collision_pairs(mj),
       site_bodyid=ti(mj.site_bodyid),
@@ -377,6 +384,11 @@ def from_mjmodel(mj, dtype=jnp.float32) -> types.Model:
       dof_body_mask=jnp.asarray(dof_body),
       body_ancestor_mask=jnp.asarray(body_anc),
       cdofdot_vel_mask=jnp.asarray(cdofdot_vel),
+      hfield_data=(a(mj.hfield_data.reshape(
+          mj.hfield_nrow[0], mj.hfield_ncol[0]) * mj.hfield_size[0, 2])
+                   if mj.nhfield else a(np.zeros((1, 1)))),
+      hfield_size=(a(mj.hfield_size[0]) if mj.nhfield
+                   else a(np.asarray([1.0, 1.0, 1.0, 1.0]))),
       geom_pos=a(mj.geom_pos),
       geom_quat=a(mj.geom_quat),
       geom_size=a(mj.geom_size),

@@ -32,6 +32,30 @@ def _point_vel(d: Data, body: int, point: jax.Array) -> jax.Array:
   return v[3:] + jnp.cross(v[:3], point)
 
 
+def subtree_linvel(m: Model, d: Data, body: int) -> jax.Array:
+  """Subtree CoM linear velocity = momentum / subtree mass (mjSENS_
+  SUBTREELINVEL); static descendant set, unrolled at trace time."""
+  mom = jnp.zeros(3, dtype=d.qpos.dtype)
+  for b in _descendants(m, body):
+    mom = mom + m.body_mass[b] * _point_vel(d, b, d.xipos[b])
+  return mom / jnp.maximum(m.body_subtreemass[body], 1e-12)
+
+
+def subtree_angmom(m: Model, d: Data, body: int) -> jax.Array:
+  """Angular momentum about the subtree CoM (mjSENS_SUBTREEANGMOM):
+  h = Σ_b R_b diag(I_b) R_bᵀ ω_b + m_b (x_b − com) × v_b."""
+  com = d.subtree_com[body]
+  val = jnp.zeros(3, dtype=d.qpos.dtype)
+  for b in _descendants(m, body):
+    omega = d.cvel[b][:3]
+    vcom = _point_vel(d, b, d.xipos[b])
+    rot = d.ximat[b]
+    spin = rot @ (m.body_inertia[b] * (rot.T @ omega))
+    orbit = m.body_mass[b] * jnp.cross(d.xipos[b] - com, vcom)
+    val = val + spin + orbit
+  return val
+
+
 def sensors(m: Model, d: Data) -> Data:
   """Fill d.sensordata for all supported sensor types."""
   if m.nsensordata == 0:
@@ -64,12 +88,9 @@ def sensors(m: Model, d: Data) -> Data:
     elif st == SensorType.SUBTREECOM:
       val = d.subtree_com[objid]
     elif st == SensorType.SUBTREELINVEL:
-      # subtree momentum / subtree mass, over the static descendant set
-      mom = jnp.zeros(3, dtype=d.qpos.dtype)
-      desc = _descendants(m, objid)
-      for b in desc:
-        mom = mom + m.body_mass[b] * _point_vel(d, b, d.xipos[b])
-      val = mom / jnp.maximum(m.body_subtreemass[objid], 1e-12)
+      val = subtree_linvel(m, d, objid)
+    elif st == SensorType.SUBTREEANGMOM:
+      val = subtree_angmom(m, d, objid)
     elif st == SensorType.ACTUATORFRC:
       val = d.actuator_force[objid][None]
     elif st == SensorType.GYRO:

@@ -86,6 +86,7 @@ class SensorType(enum.IntEnum):
   ACCELEROMETER = 13
   GYRO = 14
   USER = 15  # cost-term placeholder; dims kept, values written by tasks
+  SUBTREEANGMOM = 16
 
 
 @struct.dataclass
@@ -142,6 +143,11 @@ class Model:
   geom_type: Tuple[int, ...] = struct.field(pytree_node=False)
   geom_bodyid: Tuple[int, ...] = struct.field(pytree_node=False)
   geom_names: Tuple[str, ...] = struct.field(pytree_node=False)
+  # geom → asset id (hfield id for HFIELD geoms, -1 otherwise)
+  geom_dataid: Tuple[int, ...] = struct.field(pytree_node=False)
+  # heightfield asset grid resolution (hfield 0; (0, 0) when absent)
+  hfield_nrow: int = struct.field(pytree_node=False)
+  hfield_ncol: int = struct.field(pytree_node=False)
   # narrowphase candidate pairs: (geom1, geom2) with geom_type pair dispatch
   # decided at trace time. Precomputed on host (static broadphase).
   collision_pairs: Tuple[Tuple[int, int], ...] = struct.field(
@@ -206,6 +212,10 @@ class Model:
   # cdof[k] (cdof_dot[k] = v_k × cdof[k]); all-zero rows → cdof_dot[k] = 0
   cdofdot_vel_mask: jax.Array
 
+  # heightfield elevation grid (nrow, ncol) scaled to meters, and size
+  # (rx, ry, elevation_max, base_depth) — single-hfield support
+  hfield_data: jax.Array
+  hfield_size: jax.Array  # (4,)
   geom_pos: jax.Array  # (ngeom, 3)
   geom_quat: jax.Array  # (ngeom, 4)
   geom_size: jax.Array  # (ngeom, 3)

@@ -29,6 +29,13 @@ from mujoco_mpc_tpu.physics.types import Data, Model, SensorType
 
 _RISK_TOL = 1e-6
 
+# userdata slot holding the task *mode* (reference Task::mode, selected via
+# GUI/RPC and gated by Transition, mjpc/task.h:141). Keeping it in userdata
+# makes mode switching jit-pure: SetMode writes the slot, Transition reads
+# and may override it, rollouts see a frozen snapshot — same semantics as
+# the reference's physics-thread-only mode mutation.
+MODE_SLOT = 15
+
 
 @struct.dataclass
 class TaskParams:
@@ -92,24 +99,31 @@ def parse_cost_spec_mj(mj_model, model: Model,
 
 
 def cost_terms(spec: CostSpec, tp: TaskParams,
-               residual: jax.Array, weighted: bool = True) -> jax.Array:
+               residual: jax.Array, weighted: bool = True,
+               scale: Optional[jax.Array] = None) -> jax.Array:
   """Per-term costs (nterm,) from a residual vector (BaseResidualFn::
-  CostTerms, mjpc/task.cc:71-88)."""
+  CostTerms, mjpc/task.cc:71-88). `scale` is an optional (nterm,)
+  state-dependent weight multiplier from Task.weight_mod — the pure-
+  function analogue of the reference Transition overwriting cost weights
+  (e.g. the quadruped gait table, quadruped.cc:291-302)."""
   terms = []
   shift = 0
   for k in range(spec.nterm):
     block = residual[shift:shift + spec.dims[k]]
     val = norms.norm_value(block, norms.NormType(spec.norm_types[k]),
                            tp.norm_params[k, 0], tp.norm_params[k, 1])
-    terms.append(tp.weights[k] * val if weighted else val)
+    if weighted:
+      w = tp.weights[k] if scale is None else tp.weights[k] * scale[k]
+      val = w * val
+    terms.append(val)
     shift += spec.dims[k]
   return jnp.stack(terms) if terms else jnp.zeros((0,))
 
 
-def cost_value(spec: CostSpec, tp: TaskParams,
-               residual: jax.Array) -> jax.Array:
+def cost_value(spec: CostSpec, tp: TaskParams, residual: jax.Array,
+               scale: Optional[jax.Array] = None) -> jax.Array:
   """Scalar cost with exponential risk transform (mjpc/task.cc:91-110)."""
-  c = jnp.sum(cost_terms(spec, tp, residual))
+  c = jnp.sum(cost_terms(spec, tp, residual, scale=scale))
   risky = (jnp.exp(tp.risk * c) - 1.0) / jnp.where(
       jnp.abs(tp.risk) < _RISK_TOL, 1.0, tp.risk)
   return jnp.where(jnp.abs(tp.risk) < _RISK_TOL, c, risky)
@@ -136,6 +150,13 @@ class Task:
       pytree_node=False, default=None)
   # names of residual_* parameters, aligned with TaskParams.residual_params
   param_names: Tuple[str, ...] = struct.field(pytree_node=False, default=())
+  # task mode names (reference Task::modes); data.userdata[MODE_SLOT] holds
+  # the active mode index
+  mode_names: Tuple[str, ...] = struct.field(
+      pytree_node=False, default=("default",))
+  # optional state-dependent (nterm,) weight multiplier (see cost_terms)
+  weight_mod: Optional[ResidualFn] = struct.field(
+      pytree_node=False, default=None)
 
   def default_ctrl(self) -> jax.Array:
     """Initial nominal control: the home keyframe's ctrl when present,
@@ -170,7 +191,18 @@ class Task:
   def cost(self, data: Data, params: Optional[TaskParams] = None):
     tp = params if params is not None else self.params
     r = self.residual(self.model, data, tp.residual_params)
-    return cost_value(self.spec, tp, r)
+    scale = (self.weight_mod(self.model, data, tp.residual_params)
+             if self.weight_mod is not None else None)
+    return cost_value(self.spec, tp, r, scale)
+
+  def set_mode(self, data: Data, mode) -> Data:
+    """Write the task mode register (reference agent.proto SetMode)."""
+    return data.replace(
+        userdata=data.userdata.at[MODE_SLOT].set(
+            jnp.asarray(mode, dtype=data.userdata.dtype)))
+
+  def get_mode(self, data: Data) -> jax.Array:
+    return data.userdata[MODE_SLOT].astype(jnp.int32)
 
   def run_transition(self, data: Data,
                      params: Optional[TaskParams] = None) -> Data:

@@ -1,31 +1,94 @@
-"""Humanoid stand and walk (reference: mjpc/tasks/humanoid/{stand,walk})."""
+"""Humanoid stand and walk (reference: mjpc/tasks/humanoid/{stand,walk}).
+
+The walk residual mirrors walk.cc:44-160 term by term: torso height,
+pelvis-feet alignment, capture-point balance projected onto the inter-foot
+segment, upright (torso/pelvis/both feet), posture, walk-forward speed,
+move-feet, and control — all gated by the smooth `standing` factor so the
+cost degrades gracefully through falls. The reference reads these
+quantities via framepos/framezaxis/subtree sensors; here they come straight
+from Data kinematics (physics/sensors.py helpers for the subtree terms).
+"""
 
 from __future__ import annotations
 
 import jax.numpy as jnp
 
+from mujoco_mpc_tpu.physics import sensors as psensors
 from mujoco_mpc_tpu.tasks import base, registry
 
 
 def residual(model, data, params):
+  dtype = data.qpos.dtype
   height_goal, speed_goal = params[0], params[1]
+  balance_time = params[2]
   torso = model.body("torso")
-  head = model.site("head_site")
+  pelvis = model.body("pelvis")
+  waist = model.body("waist")
+  rfoot = model.body("right_foot")
+  lfoot = model.body("left_foot")
 
-  height = data.site_xpos[head, 2] - height_goal
-  # balance: whole-robot CoM over the feet midpoint
-  com = data.subtree_com[torso]
-  feet = 0.5 * (data.xpos[model.body("right_foot")] +
-                data.xpos[model.body("left_foot")])
-  balance = com[:2] - feet[:2]
-  upright = data.xmat[torso, 2, 2] - 1.0
-  comvel = data.cvel[torso][3:] + jnp.cross(data.cvel[torso][:3],
-                                            data.xipos[torso])
-  speed = comvel[0] - speed_goal
-  home_ctrl = jnp.zeros_like(data.ctrl)
+  # ----- torso height (walk.cc:48-50) -----
+  torso_h = data.xpos[torso, 2]
+  height = torso_h - height_goal
+
+  # ----- pelvis / feet (walk.cc:52-57): rectified — fires only when the
+  # pelvis sinks toward the feet -----
+  foot_r = data.xpos[rfoot]
+  foot_l = data.xpos[lfoot]
+  pelvis_feet = 0.5 * (foot_l[2] + foot_r[2]) - data.xpos[pelvis, 2] - 0.2
+
+  # ----- standing gate (walk.cc:92-94) -----
+  standing = torso_h / jnp.sqrt(torso_h * torso_h + 0.45 * 0.45) - 0.4
+
+  # ----- balance: capture point onto inter-foot segment (walk.cc:59-100)
+  subcom = data.subtree_com[torso]
+  subcomvel = psensors.subtree_linvel(model, data, torso)
+  capture = subcom[:2] + balance_time * subcomvel[:2]
+  axis = (foot_r - foot_l)[:2]
+  length = 0.5 * jnp.linalg.norm(axis) - 0.05
+  axis = axis / jnp.maximum(jnp.linalg.norm(axis), 1e-9)
+  center = 0.5 * (foot_r + foot_l)[:2]
+  t = jnp.clip(jnp.dot(capture - center, axis), -length, length)
+  pcp = center + t * axis
+  balance = standing * (capture - pcp)
+
+  # ----- upright (walk.cc:102-122) -----
+  up_torso = data.xmat[torso, 2, 2] - 1.0
+  up_pelvis = 0.3 * (data.xmat[pelvis, 2, 2] - 1.0)
+  z_ref = jnp.asarray([0.0, 0.0, 1.0], dtype=dtype)
+  up_rfoot = 0.1 * standing * (data.xmat[rfoot, :, 2] - z_ref)
+  up_lfoot = 0.1 * standing * (data.xmat[lfoot, :, 2] - z_ref)
+  upright = jnp.concatenate([up_torso[None], up_pelvis[None],
+                             up_rfoot, up_lfoot])
+
+  # ----- posture (walk.cc:124-126) -----
+  posture = data.qpos[7:]
+
+  # ----- walk forward (walk.cc:128-151) -----
+  fwd = (data.xmat[torso, :2, 0] + data.xmat[pelvis, :2, 0] +
+         data.xmat[rfoot, :2, 0] + data.xmat[lfoot, :2, 0])
+  fwd = fwd / jnp.maximum(jnp.linalg.norm(fwd), 1e-9)
+  waist_vel = psensors.subtree_linvel(model, data, waist)[:2]
+  torso_vel = (data.cvel[torso][3:] +
+               jnp.cross(data.cvel[torso][:3], data.xipos[torso]))[:2]
+  com_vel = 0.5 * (waist_vel + torso_vel)
+  walk = standing * (jnp.dot(com_vel, fwd) - speed_goal)
+
+  # ----- move feet (walk.cc:153-163) -----
+  rfoot_vel = (data.cvel[rfoot][3:] +
+               jnp.cross(data.cvel[rfoot][:3], data.xipos[rfoot]))[:2]
+  lfoot_vel = (data.cvel[lfoot][3:] +
+               jnp.cross(data.cvel[lfoot][:3], data.xipos[lfoot]))[:2]
+  move_feet = standing * (com_vel - 0.5 * rfoot_vel - 0.5 * lfoot_vel)
+
+  # ----- control (walk.cc:165-167; position-actuated here, so relative
+  # to the home pose instead of raw torques) -----
+  home_ctrl = jnp.asarray(model.keyframe("home")[2], dtype=dtype)
+  control = data.ctrl - home_ctrl
+
   return jnp.concatenate([
-      height[None], balance, upright[None], speed[None],
-      data.ctrl - home_ctrl,
+      height[None], pelvis_feet[None], balance, upright, posture,
+      walk[None], move_feet, control,
   ])
 
 

@@ -1,58 +1,368 @@
-"""Quadruped flat-terrain locomotion with a trot-gait phase machine.
+"""Quadruped locomotion with the reference's multi-gait FSM.
 
-Reference (mjpc/tasks/quadruped/quadruped.h:39-180): gait FSM with phase
-signatures per foot and gait-modulated foot-height references. Here the FSM
-is a pure function — the gait phase lives in data.userdata[0] and advances
-inside rollouts (device-friendly integer/real state instead of the
-reference's host-locked TransitionLocked mutation, per SURVEY §7 hard
-part #2).
+Reference (mjpc/tasks/quadruped/quadruped.{h,cc}): 5 gaits (stand, walk,
+trot, canter, gallop) with per-foot phase signatures, automatic gait
+switching from filtered CoM speed, gait-dependent cost weights, and modes
+(Quadruped goal-seeking, Biped, prescribed Walk, Scramble). The reference
+keeps this state in ResidualFn members mutated by TransitionLocked
+(quadruped.cc:229-345) on the host; here the whole FSM is a *pure function*
+with its state in data.userdata, so it runs on device and survives jit —
+SURVEY §7 hard part #2. The Flip mode (backflip choreography,
+quadruped.cc:350-445) is not implemented this round.
+
+Residual layout mirrors quadruped.cc:33-228: Upright(3), Height(1),
+Position(3), Gait(4), Balance(2), Effort(nu), Posture(nu), Orientation(2),
+Angmom(3). Gait-dependent Balance/Upright/Height weights (reference
+Transition weight writes, quadruped.cc:291-302) are applied through
+Task.weight_mod.
+
+userdata layout:
+  [0] current gait        [1] phase at phase-start  [2] phase-start time
+  [3] phase velocity      [4:6] filtered CoM vel    [6] gait-switch time
+  [7] last transition t   [8] mode start time       [9:11] walk axis
+  [11:13] walk heading    [13] walk speed           [14] walk angvel
+  [15] requested mode (base.MODE_SLOT)              [16] accepted mode
 """
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
+from mujoco_mpc_tpu.physics import collision as pcollision
+from mujoco_mpc_tpu.physics import sensors as psensors
+from mujoco_mpc_tpu.physics.types import GeomType
 from mujoco_mpc_tpu.tasks import base, registry
 
-# trot: diagonal pairs in anti-phase (reference gait phase signatures)
-_FOOT_OFFSET = (0.0, 0.5, 0.5, 0.0)  # FL, FR, RL, RR
-_FEET = ("FL_foot", "FR_foot", "RL_foot", "RR_foot")
+# modes (reference A1Mode, quadruped.h:40-47; Flip deferred)
+MODE_QUADRUPED, MODE_BIPED, MODE_WALK, MODE_SCRAMBLE = 0, 1, 2, 3
+MODE_NAMES = ("Quadruped", "Biped", "Walk", "Scramble")
+
+# gaits (reference A1Gait, quadruped.h:58-65)
+GAIT_STAND, GAIT_WALK, GAIT_TROT, GAIT_CANTER, GAIT_GALLOP = range(5)
+
+# foot order here: FL, FR, RL, RR (reference order FL, HL, FR, HR —
+# columns remapped; quadruped.h:76-85)
+_GAIT_PHASE = jnp.asarray([
+    [0.00, 0.00, 0.00, 0.00],  # stand
+    [0.00, 0.50, 0.75, 0.25],  # walk
+    [0.00, 0.50, 0.50, 0.00],  # trot
+    [0.00, 0.33, 0.33, 0.66],  # canter
+    [0.00, 0.05, 0.40, 0.35],  # gallop
+])
+# duty ratio, cadence (Hz), amplitude (m), balance w, upright w, height w
+# (reference kGaitParam, quadruped.h:87-97)
+_GAIT_PARAM = jnp.asarray([
+    [1.00, 1.0, 0.00, 0.00, 1.0, 1.0],  # stand
+    [0.75, 1.0, 0.03, 0.00, 1.0, 1.0],  # walk
+    [0.45, 2.0, 0.03, 0.20, 1.0, 1.0],  # trot
+    [0.40, 4.0, 0.05, 0.03, 0.5, 0.2],  # canter
+    [0.30, 3.5, 0.10, 0.03, 0.2, 0.1],  # gallop
+])
+# auto-switch speed thresholds (reference kGaitAuto, quadruped.h:100-107)
+_GAIT_AUTO = jnp.asarray([0.0, 0.02, 0.02, 0.6, 2.0])
+
+_AUTO_GAIT_FILTER = 0.2   # s, CoM speed EMA (kAutoGaitFilter)
+_AUTO_GAIT_MIN_TIME = 1.0  # s between switches (kAutoGaitMinTime)
+_HEIGHT_QUADRUPED = 0.30  # torso height over feet (scaled to this robot)
+_HEIGHT_BIPED = 0.50
 _FOOT_RADIUS = 0.02
+_MIN_ANGVEL = 0.01
+_JOINT_POSTURE_GAIN = jnp.asarray([2.0, 1.0, 1.0] * 4)  # abd, hip, knee
+_FEET = ("FL_foot", "FR_foot", "RL_foot", "RR_foot")
+
+# residual_params indices (XML custom numeric order)
+_P_GAIT, _P_GAIT_SWITCH, _P_WALK_SPEED, _P_WALK_TURN = 0, 1, 2, 3
+_P_BIPED_TYPE, _P_HEADING, _P_ARM_POSTURE = 4, 5, 6
+
+# cost term indices (XML sensor order)
+_T_UPRIGHT, _T_HEIGHT, _T_BALANCE = 0, 1, 4
 
 
-def _foot_heights(model, data):
+def _get_phase(u, time):
+  """Internal phase clock (quadruped.cc:628-631)."""
+  return u[1] + (time - u[2]) * u[3]
+
+
+def _step_height(time, footphase, duty_ratio):
+  """Normalized target step height (quadruped.cc:659-668)."""
+  angle = jnp.mod(time + jnp.pi - footphase, 2 * jnp.pi) - jnp.pi
+  angle = angle * 0.5 / jnp.maximum(1.0 - duty_ratio, 1e-6)
+  value = jnp.cos(jnp.clip(angle, -jnp.pi / 2, jnp.pi / 2))
+  value = jnp.where(duty_ratio < 1.0, value, 0.0)
+  return jnp.where(jnp.abs(value) < 1e-6, 0.0, value)
+
+
+def _foot_positions(model, data):
   idx = [model.geom(f) for f in _FEET]
-  return jnp.stack([data.geom_xpos[i, 2] for i in idx])
+  return jnp.stack([data.geom_xpos[i] for i in idx])  # (4, 3)
+
+
+def _ground_under(model, data, points):
+  """Terrain height under world points (N, 3) — the reference's Ground()
+  raycast (mjpc/utilities.cc). Flat models: 0; hfield models: bilinear
+  surface height of the hfield geom (static trace-time branch)."""
+  hfield_geoms = [g for g, t in enumerate(model.geom_type)
+                  if t == GeomType.HFIELD]
+  if not hfield_geoms:
+    return jnp.zeros(points.shape[:-1], dtype=points.dtype)
+  g = hfield_geoms[0]
+  hp, hm = data.geom_xpos[g], data.geom_xmat[g]
+
+  def one(p):
+    local = hm.T @ (p - hp)
+    h, _, _ = pcollision._hfield_sample(model, local[0], local[1])
+    return (hm @ jnp.stack([local[0], local[1], h]) + hp)[2]
+
+  return jax.vmap(one)(points)
+
+
+def _gait_of(u, mode):
+  """Active gait (biped always trots, quadruped.cc:652-656)."""
+  gait = u[0].astype(jnp.int32)
+  return jnp.where(mode == MODE_BIPED, GAIT_TROT, gait)
 
 
 def residual(model, data, params):
-  speed_goal, height_goal, cadence, amplitude = (params[0], params[1],
-                                                 params[2], params[3])
+  dtype = data.qpos.dtype
+  u = data.userdata
+  mode = u[16].astype(jnp.int32)
   trunk = model.body("trunk")
-  height = data.xpos[trunk, 2] - height_goal
-  upright = data.xmat[trunk, :2, 2]
-  linvel = data.cvel[trunk][3:] + jnp.cross(data.cvel[trunk][:3],
-                                            data.xipos[trunk])
-  speed = linvel[0] - speed_goal
-  lateral = linvel[1]
 
-  # gait: per-foot height tracks a phase-offset swing profile
-  phase = data.time * cadence  # cycles; fractional part is the gait phase
-  offsets = jnp.asarray(_FOOT_OFFSET, dtype=data.qpos.dtype)
-  foot_phase = 2.0 * jnp.pi * (phase + offsets)
-  h_ref = _FOOT_RADIUS + amplitude * jnp.maximum(jnp.sin(foot_phase), 0.0)
-  gait = _foot_heights(model, data) - h_ref
+  foot_pos = _foot_positions(model, data)
+  avg_foot = jnp.mean(foot_pos, axis=0)
+  torso_xmat = data.xmat[trunk]
+  torso_pos = data.xipos[trunk]
+  goal = data.mocap_pos[0]
+  head = data.site_xpos[model.site("head")]
 
-  home_ctrl = jnp.asarray(model.keyframe("home")[2], dtype=data.ctrl.dtype)
+  # ---------- Upright (quadruped.cc:53-72) ----------
+  handstand = jnp.where(params[_P_BIPED_TYPE] > 0.5, -1.0, 1.0)
+  up_quad = torso_xmat[2, 2] - 1.0
+  up_biped = torso_xmat[2, 0] - handstand
+  upright0 = jnp.where(mode == MODE_BIPED, up_biped, up_quad)
+  upright = jnp.stack([upright0, jnp.zeros((), dtype), jnp.zeros((), dtype)])
+
+  # ---------- Height (quadruped.cc:75-89) ----------
+  height_goal = jnp.where(mode == MODE_BIPED, _HEIGHT_BIPED,
+                          _HEIGHT_QUADRUPED)
+  height = (torso_pos[2] - avg_foot[2]) - height_goal
+  height = jnp.where(mode == MODE_SCRAMBLE, 0.0, height)
+
+  # ---------- Position (quadruped.cc:92-108): head → goal mocap;
+  # in Walk mode the transition FSM moves the goal along the prescribed
+  # arc, so the same term follows the walk trajectory ----------
+  pos_xy = head[:2] - goal[:2]
+  pos_z = jnp.where(mode == MODE_SCRAMBLE, 2.0 * (head[2] - goal[2]), 0.0)
+  position = jnp.concatenate([pos_xy, pos_z[None]])
+
+  # ---------- Gait (quadruped.cc:110-146) ----------
+  gait = _gait_of(u, mode)
+  duty = _GAIT_PARAM[gait, 0]
+  amplitude = _GAIT_PARAM[gait, 2].astype(dtype)
+  phase = _get_phase(u, data.time)
+  footphase = 2 * jnp.pi * _GAIT_PHASE[gait]
+  step = amplitude * _step_height(phase, footphase, duty)  # (4,)
+
+  # scramble: query point shifted toward the goal (quadruped.cc:126-135)
+  to_goal = goal - foot_pos
+  to_goal = to_goal.at[:, 2].set(0.0)
+  to_goal = to_goal / jnp.maximum(
+      jnp.linalg.norm(to_goal, axis=-1, keepdims=True), 1e-9)
+  query = jnp.where(mode == MODE_SCRAMBLE, foot_pos + 0.15 * to_goal,
+                    foot_pos)
+  ground = _ground_under(model, data, query)  # terrain-aware (Hill task)
+  height_target = ground + _FOOT_RADIUS + step
+  hdiff = foot_pos[:, 2] - height_target
+  hdiff = jnp.where(mode == MODE_SCRAMBLE, jnp.minimum(hdiff, 0.0), hdiff)
+  gait_res = jnp.where(step != 0.0, hdiff, 0.0)
+  # biped: ignore the "hands" (front feet, or hind feet in handstand)
+  is_front = jnp.asarray([1.0, 1.0, 0.0, 0.0], dtype=dtype)
+  hands = jnp.where(params[_P_BIPED_TYPE] > 0.5, 1.0 - is_front, is_front)
+  gait_res = jnp.where((mode == MODE_BIPED) & (hands > 0.5), 0.0, gait_res)
+
+  # ---------- Balance: capture point (quadruped.cc:149-156) ----------
+  compos = data.subtree_com[trunk]
+  comvel = psensors.subtree_linvel(model, data, trunk)
+  fall_time = jnp.sqrt(2.0 * height_goal / 9.81)
+  capture = compos[:2] + fall_time * comvel[:2]
+  balance = capture - avg_foot[:2]
+
+  # ---------- Effort (quadruped.cc:158-160) ----------
+  effort = 2e-2 * data.actuator_force
+
+  # ---------- Posture (quadruped.cc:163-202) ----------
+  home = jnp.asarray(model.keyframe("home")[0], dtype=dtype)
+  posture = (data.qpos[7:] - home[7:]) * _JOINT_POSTURE_GAIN.astype(dtype)
+  arm_scale = params[_P_ARM_POSTURE].astype(dtype)
+  front_sel = jnp.repeat(is_front, 3)
+  arm_sel = jnp.where(params[_P_BIPED_TYPE] > 0.5, 1.0 - front_sel,
+                      front_sel)
+  posture = jnp.where((mode == MODE_BIPED) & (arm_sel > 0.5),
+                      posture * arm_scale, posture)
+
+  # ---------- Orientation / yaw (quadruped.cc:205-216) ----------
+  head_quad = jnp.stack([torso_xmat[0, 0], torso_xmat[1, 0]])
+  head_biped = handstand * jnp.stack([torso_xmat[0, 2], torso_xmat[1, 2]])
+  heading_vec = jnp.where(mode == MODE_BIPED, head_biped, head_quad)
+  heading_vec = heading_vec / jnp.maximum(
+      jnp.linalg.norm(heading_vec), 1e-9)
+  hgoal = params[_P_HEADING]
+  orientation = heading_vec - jnp.stack([jnp.cos(hgoal), jnp.sin(hgoal)])
+
+  # ---------- Angular momentum (quadruped.cc:219-222) ----------
+  angmom = psensors.subtree_angmom(model, data, trunk)
+
   return jnp.concatenate([
-      height[None], upright, speed[None], lateral[None], gait,
-      data.ctrl - home_ctrl,
+      upright, height[None], position, gait_res, balance, effort, posture,
+      orientation.astype(dtype), angmom,
   ])
+
+
+def weight_mod(model, data, params):
+  """Gait-dependent Balance/Upright/Height weights (the reference's
+  Transition weight writes, quadruped.cc:291-302)."""
+  u = data.userdata
+  mode = u[16].astype(jnp.int32)
+  gait = _gait_of(u, mode)
+  scale = jnp.ones(9, dtype=data.qpos.dtype)
+  scale = scale.at[_T_BALANCE].set(_GAIT_PARAM[gait, 3])
+  scale = scale.at[_T_UPRIGHT].set(_GAIT_PARAM[gait, 4])
+  scale = scale.at[_T_HEIGHT].set(_GAIT_PARAM[gait, 5])
+  return scale
+
+
+def transition(model, data, params):
+  """Pure-gait/mode FSM (reference TransitionLocked, quadruped.cc:229-345,
+  minus Flip). All state in userdata; jit/vmap-safe."""
+  dtype = data.qpos.dtype
+  u = data.userdata
+  t = data.time
+  trunk = model.body("trunk")
+
+  # ---------- reset detection (quadruped.cc:230-238) ----------
+  is_reset = t < u[7]
+  req = u[base.MODE_SLOT].astype(jnp.int32)
+  cur = u[16].astype(jnp.int32)
+  req = jnp.where(
+      is_reset & (req != MODE_QUADRUPED) & (req != MODE_BIPED),
+      MODE_QUADRUPED, req)
+  u = u.at[1].set(jnp.where(is_reset, t, u[1]))
+  u = u.at[2].set(jnp.where(is_reset, t, u[2]))
+
+  # ---------- forbidden transitions (quadruped.cc:240-248): switching
+  # into the stateful Walk mode is only allowed from Quadruped ----------
+  req = jnp.where((req != cur) & (cur != MODE_QUADRUPED) &
+                  (req == MODE_WALK), MODE_QUADRUPED, req)
+
+  # ---------- automatic gait switching (quadruped.cc:259-289) ----------
+  comvel = psensors.subtree_linvel(model, data, trunk)[:2]
+  beta = jnp.exp(-(t - u[7]) / _AUTO_GAIT_FILTER)
+  filt = beta * u[4:6] + (1.0 - beta) * comvel
+  u = u.at[4:6].set(filt)
+  speed = jnp.linalg.norm(filt)
+  # speed bands: stand / trot / canter / gallop (walk is never auto-chosen)
+  auto_gait = jnp.where(
+      speed <= _GAIT_AUTO[GAIT_TROT], GAIT_STAND,
+      jnp.where(speed <= _GAIT_AUTO[GAIT_CANTER], GAIT_TROT,
+                jnp.where(speed <= _GAIT_AUTO[GAIT_GALLOP], GAIT_CANTER,
+                          GAIT_GALLOP)))
+  # scramble requires a non-static gait
+  auto_gait = jnp.where((req == MODE_SCRAMBLE) & (auto_gait == GAIT_STAND),
+                        GAIT_TROT, auto_gait)
+  waited = jnp.abs(u[6] - t) > _AUTO_GAIT_MIN_TIME
+  auto_on = params[_P_GAIT_SWITCH] > 0.5
+  gait = u[0].astype(jnp.int32)
+  manual = params[_P_GAIT].astype(jnp.int32)
+  new_gait = jnp.where(auto_on, jnp.where(waited, auto_gait, gait), manual)
+  switched = new_gait != gait
+  u = u.at[0].set(new_gait.astype(dtype))
+  u = u.at[6].set(jnp.where(switched & auto_on, t, u[6]))
+
+  # ---------- phase continuity across cadence change (cc:250-257) ------
+  cadence = _GAIT_PARAM[_gait_of(u, req), 1]
+  new_vel = 2 * jnp.pi * cadence
+  vel_changed = new_vel != u[3]
+  phase_now = _get_phase(u, t)
+  u = u.at[1].set(jnp.where(vel_changed, phase_now, u[1]))
+  u = u.at[2].set(jnp.where(vel_changed, t, u[2]))
+  u = u.at[3].set(new_vel.astype(dtype))
+
+  # ---------- Walk mode: move the goal along a line/circle (cc:305-345,
+  # Walk() cc:633-650) ----------
+  speed_p = params[_P_WALK_SPEED]
+  angvel_p = params[_P_WALK_TURN]
+  goal = data.mocap_pos[0]
+  entering = (req == MODE_WALK) & ((cur != MODE_WALK) |
+                                   (u[13] != speed_p) | (u[14] != angvel_p))
+  forward = data.xmat[trunk][:2, 0]
+  forward = forward / jnp.maximum(jnp.linalg.norm(forward), 1e-9)
+  leftward = jnp.stack([-forward[1], forward[0]])
+  torso_xy = data.xpos[trunk][:2]
+  turning = jnp.abs(angvel_p) > _MIN_ANGVEL
+  d_off = speed_p / jnp.where(turning, angvel_p, 1.0)
+  axis = torso_xy + jnp.where(turning, d_off * leftward, 0.0)
+  u = u.at[8].set(jnp.where(entering, t, u[8]))
+  u = u.at[9:11].set(jnp.where(entering, axis, u[9:11]))
+  u = u.at[11:13].set(jnp.where(entering, goal[:2] - axis, u[11:13]))
+  u = u.at[13].set(jnp.where(entering, speed_p, u[13]))
+  u = u.at[14].set(jnp.where(entering, angvel_p, u[14]))
+
+  mode_time = t - u[8]
+  heading = u[11:13]
+  walk_turning = jnp.abs(u[14]) > _MIN_ANGVEL
+  hnorm = heading / jnp.maximum(jnp.linalg.norm(heading), 1e-9)
+  straight = u[9:11] + heading + mode_time * u[13] * hnorm
+  ang = mode_time * u[14]
+  rot = jnp.stack([
+      jnp.cos(ang) * heading[0] - jnp.sin(ang) * heading[1],
+      jnp.sin(ang) * heading[0] + jnp.cos(ang) * heading[1]])
+  circle = u[9:11] + rot
+  walk_goal_xy = jnp.where(walk_turning, circle, straight)
+  new_goal = jnp.where(req == MODE_WALK,
+                       jnp.concatenate([walk_goal_xy, goal[2:]]), goal)
+
+  # ---------- commit ----------
+  u = u.at[7].set(t)
+  u = u.at[16].set(req.astype(dtype))
+  u = u.at[base.MODE_SLOT].set(req.astype(dtype))
+  return data.replace(
+      userdata=u, mocap_pos=data.mocap_pos.at[0].set(new_goal))
+
+
+def _make(name, xml, dtype=jnp.float32, mutate=None) -> base.Task:
+  model, spec, params, pnames = registry.load_task_model(
+      xml, dtype, mutate=mutate)
+  return base.Task(name=name, model=model, spec=spec,
+                   params=params, residual=residual, transition=transition,
+                   weight_mod=weight_mod, mode_names=MODE_NAMES,
+                   param_names=pnames)
 
 
 @registry.register("Quadruped Flat")
 def make(dtype=jnp.float32) -> base.Task:
-  model, spec, params, pnames = registry.load_task_model(
-      "quadruped.xml", dtype)
-  return base.Task(name="Quadruped Flat", model=model, spec=spec,
-                   params=params, residual=residual, param_names=pnames)
+  return _make("Quadruped Flat", "quadruped.xml", dtype)
+
+
+def _fill_hill(mj):
+  """Procedural terrain: a smooth hill toward the goal + gentle ripples
+  (reference hill task ships a PNG heightmap; here the elevation grid is
+  generated at load)."""
+  import numpy as np
+  nr, nc = int(mj.hfield_nrow[0]), int(mj.hfield_ncol[0])
+  rx, ry = mj.hfield_size[0, 0], mj.hfield_size[0, 1]
+  y, x = np.meshgrid(np.linspace(-ry, ry, nr), np.linspace(-rx, rx, nc),
+                     indexing="ij")
+  hill = np.exp(-((x - 4.0) ** 2 + y ** 2) / 8.0)
+  ripple = 0.06 * (np.sin(2.2 * x) * np.cos(1.7 * y) + 1.0)
+  h = hill + ripple
+  # flat pad around the start so the home keyframe rests on z≈0
+  pad = np.clip((np.sqrt((x + 1.0) ** 2 + y ** 2) - 1.5) / 1.0, 0.0, 1.0)
+  h = h * pad
+  mj.hfield_data[:] = (h / max(h.max(), 1e-9)).ravel()
+
+
+@registry.register("Quadruped Hill")
+def make_hill(dtype=jnp.float32) -> base.Task:
+  return _make("Quadruped Hill", "quadruped_hill.xml", dtype,
+               mutate=_fill_hill)
