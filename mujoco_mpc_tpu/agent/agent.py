@@ -69,9 +69,19 @@ class Agent:
   def __init__(self, task: str | task_base.Task,
                planner: Optional[str] = None,
                horizon_steps: Optional[int] = None, seed: int = 0,
-               dtype=jnp.float32):
+               dtype=jnp.float32, model_xml: Optional[str] = None):
     if isinstance(task, str):
       task = registry.get_task(task, dtype=dtype)
+    if model_xml is not None:
+      # caller-supplied model override (reference Init with custom model,
+      # mjpc/grpc/agent.proto:21-30, grpc_agent_util.cc LoadModelFromString)
+      import mujoco
+      mj = mujoco.MjModel.from_xml_string(model_xml)
+      model = phys_io.from_mjmodel(mj, dtype=dtype)
+      spec, params, names = task_base.parse_cost_spec_mj(
+          mj, model, dtype=dtype)
+      task = task.replace(model=model, spec=spec, params=params,
+                          param_names=names)
     if planner is None:
       # task XML selects the planner (reference agent_planner numeric)
       idx = int(task.model.custom("agent_planner", 0))
@@ -146,6 +156,25 @@ class Agent:
     self.policy = self.planner.init(self.task)
     self.previous_policy = self.policy
 
+  # ------------------------------------------------------------ task modes
+  @property
+  def mode_names(self):
+    return self.task.mode_names
+
+  def set_mode(self, mode):
+    """Select the task mode by name or index (reference Agent SetMode;
+    the value lands in data.userdata[MODE_SLOT] and the task's Transition
+    gates/accepts it on the next step)."""
+    idx = (self.task.mode_names.index(mode) if isinstance(mode, str)
+           else int(mode))
+    with self._lock:
+      self.data = self.task.set_mode(self.data, idx)
+
+  def get_mode(self) -> str:
+    idx = int(np.asarray(self.data.userdata[task_base.MODE_SLOT]))
+    names = self.task.mode_names
+    return names[idx] if 0 <= idx < len(names) else str(idx)
+
   # ------------------------------------------------------------ task knobs
   def set_cost_weights(self, weights: dict):
     task = self.task
@@ -184,10 +213,18 @@ class Agent:
     return info
 
   def action(self, time: Optional[float] = None,
-             use_previous: bool = False) -> np.ndarray:
-    """ActionFromPolicy at the given (default current) time."""
+             use_previous: bool = False,
+             nominal: bool = False) -> np.ndarray:
+    """ActionFromPolicy at the given (default current) time.
+
+    nominal=True skips feedback terms (reference GetAction nominal_action,
+    agent.proto:106-111) — for feedback policies (iLQG) the gains are
+    zeroed; open-loop policies are nominal already."""
     with self._lock:
       policy = self.previous_policy if use_previous else self.policy
+    if nominal and hasattr(policy, "feedback_scale"):
+      policy = policy.replace(
+          feedback_scale=jnp.zeros_like(policy.feedback_scale))
     d = self.data
     if time is not None:
       d = d.replace(time=jnp.asarray(time, dtype=d.qpos.dtype))

@@ -32,7 +32,8 @@ class AgentServicer:
   def Init(self, req: pb.InitRequest, ctx) -> pb.InitResponse:
     self.agent = Agent(
         req.task_id, planner=req.planner or "sampling",
-        horizon_steps=req.horizon_steps or None)
+        horizon_steps=req.horizon_steps or None,
+        model_xml=req.model_xml or None)
     return pb.InitResponse()
 
   def _require(self):
@@ -85,7 +86,8 @@ class AgentServicer:
           for tt in ts])
       act = actions.mean(axis=0)
     else:
-      act = a.action(time=t, use_previous=req.use_previous_policy)
+      act = a.action(time=t, use_previous=req.use_previous_policy,
+                     nominal=req.nominal_action)
     return pb.GetActionResponse(action=act.tolist())
 
   def PlannerStep(self, req, ctx) -> pb.PlannerStepResponse:
@@ -145,6 +147,34 @@ class AgentServicer:
     self._require().stop_planning()
     return pb.StopPlanningResponse()
 
+  def SetMode(self, req: pb.SetModeRequest, ctx):
+    self._require().set_mode(req.mode)
+    return pb.SetModeResponse()
+
+  def GetMode(self, req, ctx):
+    return pb.GetModeResponse(mode=self._require().get_mode())
+
+  def GetAllModes(self, req, ctx):
+    return pb.GetAllModesResponse(
+        mode_names=list(self._require().mode_names))
+
+  def SetAnything(self, req: pb.SetAnythingRequest, ctx):
+    """One-call state/weights/params/mode mutation (reference SetAnything,
+    grpc_agent_util.cc)."""
+    a = self._require()
+    if req.HasField("state"):
+      self.SetState(pb.SetStateRequest(state=req.state), ctx)
+    if req.cost_weights:
+      a.set_cost_weights({w.name: w.weight for w in req.cost_weights})
+    for p in req.parameters:
+      a.set_task_parameter(p.name, p.value)
+    if req.mode:
+      a.set_mode(req.mode)
+    if req.ctrl:
+      a.data = a.data.replace(
+          ctrl=np.asarray(req.ctrl, dtype=np.asarray(a.data.ctrl).dtype))
+    return pb.SetAnythingResponse()
+
   def GetBestTrajectory(self, req, ctx):
     a = self._require()
     info = a.last_info
@@ -176,6 +206,10 @@ _RPCS = [
     ("GetResiduals", pb.GetResidualsRequest, pb.GetResidualsResponse),
     ("GetBestTrajectory", pb.GetBestTrajectoryRequest,
      pb.GetBestTrajectoryResponse),
+    ("SetMode", pb.SetModeRequest, pb.SetModeResponse),
+    ("GetMode", pb.GetModeRequest, pb.GetModeResponse),
+    ("GetAllModes", pb.GetAllModesRequest, pb.GetAllModesResponse),
+    ("SetAnything", pb.SetAnythingRequest, pb.SetAnythingResponse),
 ]
 
 

@@ -35,7 +35,8 @@ class AgentClient:
 
   def __init__(self, task_id: str, planner: str = "sampling",
                horizon_steps: int = 0, port: Optional[int] = None,
-               server_timeout: float = 180.0, jax_platform: str = ""):
+               server_timeout: float = 180.0, jax_platform: str = "",
+               model_xml: str = ""):
     self._proc = None
     if port is None:
       port = _find_free_port()
@@ -82,9 +83,16 @@ class AgentClient:
                                pb.StartPlanningResponse)
     self._stop_planning = rpc("StopPlanning", pb.StopPlanningRequest,
                               pb.StopPlanningResponse)
+    self._set_mode = rpc("SetMode", pb.SetModeRequest, pb.SetModeResponse)
+    self._get_mode = rpc("GetMode", pb.GetModeRequest, pb.GetModeResponse)
+    self._get_all_modes = rpc("GetAllModes", pb.GetAllModesRequest,
+                              pb.GetAllModesResponse)
+    self._set_anything = rpc("SetAnything", pb.SetAnythingRequest,
+                             pb.SetAnythingResponse)
 
     self._init(pb.InitRequest(task_id=task_id, planner=planner,
-                              horizon_steps=horizon_steps),
+                              horizon_steps=horizon_steps,
+                              model_xml=model_xml),
                timeout=server_timeout)
 
   # ------------------------------------------------------------------- API
@@ -108,11 +116,45 @@ class AgentClient:
             "userdata": np.asarray(st.userdata)}
 
   def get_action(self, time: float = -1.0, averaging_duration: float = 0.0,
-                 use_previous_policy: bool = False) -> np.ndarray:
+                 use_previous_policy: bool = False,
+                 nominal_action: bool = False) -> np.ndarray:
     resp = self._get_action(pb.GetActionRequest(
         time=time, averaging_duration=averaging_duration,
-        use_previous_policy=use_previous_policy))
+        use_previous_policy=use_previous_policy,
+        nominal_action=nominal_action))
     return np.asarray(resp.action)
+
+  def set_mode(self, mode: str):
+    self._set_mode(pb.SetModeRequest(mode=mode))
+
+  def get_mode(self) -> str:
+    return self._get_mode(pb.GetModeRequest()).mode
+
+  def get_all_modes(self) -> list:
+    return list(self._get_all_modes(pb.GetAllModesRequest()).mode_names)
+
+  def set_anything(self, qpos=None, qvel=None, time=None, mocap_pos=None,
+                   cost_weights=None, parameters=None, mode: str = "",
+                   ctrl=None):
+    """One-call mutation (reference SetAnything, grpc_agent_util.cc)."""
+    req = pb.SetAnythingRequest(mode=mode)
+    if any(v is not None for v in (qpos, qvel, time, mocap_pos)):
+      s = pb.State()
+      if time is not None:
+        s.time = time
+      for field, val in (("qpos", qpos), ("qvel", qvel)):
+        if val is not None:
+          getattr(s, field).extend(np.asarray(val).ravel().tolist())
+      if mocap_pos is not None:
+        s.mocap_pos.extend(np.asarray(mocap_pos).ravel().tolist())
+      req.state.CopyFrom(s)
+    for name, w in (cost_weights or {}).items():
+      req.cost_weights.append(pb.CostWeight(name=name, weight=w))
+    for name, v in (parameters or {}).items():
+      req.parameters.append(pb.TaskParameter(name=name, value=v))
+    if ctrl is not None:
+      req.ctrl.extend(np.asarray(ctrl).ravel().tolist())
+    self._set_anything(req)
 
   def planner_step(self) -> float:
     return self._planner_step(pb.PlannerStepRequest()).best_return

@@ -42,6 +42,23 @@ def test_rpc_surface(client):
   np.testing.assert_allclose(st2["qpos"], [0.0, 0.0], atol=1e-6)
 
 
+def test_mode_rpcs_and_set_anything(client):
+  # Particle has no task modes → single "default" mode
+  assert client.get_all_modes() == ["default"]
+  client.set_mode("default")
+  assert client.get_mode() == "default"
+
+  # nominal action works (open-loop policy: identical semantics)
+  u = client.get_action(nominal_action=True)
+  assert u.shape == (2,)
+
+  # SetAnything: state + weights + parameters in one call
+  client.set_anything(qpos=[0.1, 0.1], cost_weights={"Velocity": 0.25})
+  st = client.get_state()
+  np.testing.assert_allclose(st["qpos"], [0.1, 0.1], atol=1e-6)
+  client.reset()
+
+
 def test_planning_improves_over_rpc(client):
   client.reset()
   client.set_state(qpos=[0.25, 0.0])
