@@ -2,11 +2,18 @@
 
 The reference's entire "distributed backend" is an intra-process ThreadPool
 (SURVEY §5.8, mjpc/threadpool.h:32). The TPU-native equivalent: candidates
-are a data-parallel mesh axis; each chip rolls out its shard in lockstep,
-and a single all_gather of the (tiny) per-candidate returns + spline node
-arrays picks the global winner. Nothing else crosses chips — the algorithm
-is embarrassingly parallel over candidates, so collectives ride ICI and
-cost O(N·k·nu) bytes per planning iteration.
+are a data-parallel mesh axis; each chip rolls out its shard in lockstep.
+Per-candidate returns leave the shard_map still sharded (out_specs P(AXIS));
+the global winner reduction (argmin / top_k / elite statistics) runs at the
+jit level where GSPMD inserts the ICI collectives — O(N) scalars + the
+winning (k, nu) node array cross chips, nothing else. All shard_maps are
+VMA-checked (no check_vma escape hatch).
+
+Planners:
+  ShardedSamplingPlanner — predictive sampling, candidate axis sharded
+  ShardedCrossEntropyPlanner — CEM; elite stats on gathered returns
+  ShardedRobustPlanner — robust re-scoring; (candidate × repetition) grid
+    sharded over candidates
 """
 
 from __future__ import annotations
@@ -20,6 +27,9 @@ from jax.sharding import Mesh, PartitionSpec as P
 from mujoco_mpc_tpu.ops import rollout as rollout_mod
 from mujoco_mpc_tpu.ops import spline
 from mujoco_mpc_tpu.planners.base import PlanInfo
+from mujoco_mpc_tpu.planners.cross_entropy import (CEMConfig, CEMPolicy,
+                                                   CrossEntropyPlanner)
+from mujoco_mpc_tpu.planners.robust import RobustConfig, RobustPlanner
 from mujoco_mpc_tpu.planners.sampling import (SamplingConfig, SamplingPlanner,
                                               SamplingPolicy,
                                               _STD2_PROPORTION)
@@ -35,6 +45,30 @@ def make_mesh(n_devices: Optional[int] = None) -> Mesh:
   return Mesh(devs[:n], (AXIS,))
 
 
+def _check_divisible(n: int, mesh: Mesh, what: str):
+  n_dev = mesh.devices.size
+  if n % n_dev:
+    raise ValueError(
+        f"{what}={n} must be divisible by mesh size {n_dev}")
+
+
+def _vary(data, axis=AXIS):
+  """Mark a replicated capture as varying so per-shard scans may evolve it."""
+  return jax.tree.map(lambda x: jax.lax.pcast(x, axis, to="varying"), data)
+
+
+def _resample_nominal(cfg, m, policy, data):
+  k = cfg.spline_points
+  dt = m.opt.timestep
+  horizon_time = (cfg.horizon - 1) * dt
+  denom = k if cfg.interp == spline.Interp.ZERO else k - 1
+  new_times = data.time + jnp.arange(k, dtype=policy.times.dtype) * (
+      horizon_time / jnp.maximum(denom, 1))
+  nominal = spline.resample(policy.times, policy.values, new_times,
+                            cfg.interp)
+  return new_times, nominal
+
+
 class ShardedSamplingPlanner(SamplingPlanner):
   """Predictive sampling with the candidate axis sharded over a mesh.
 
@@ -46,11 +80,7 @@ class ShardedSamplingPlanner(SamplingPlanner):
   def __init__(self, config: SamplingConfig, mesh: Mesh):
     super().__init__(config)
     self.mesh = mesh
-    n_dev = mesh.devices.size
-    if config.num_trajectories % n_dev:
-      raise ValueError(
-          f"num_trajectories={config.num_trajectories} must be divisible "
-          f"by mesh size {n_dev}")
+    _check_divisible(config.num_trajectories, mesh, "num_trajectories")
 
   def optimize(self, task: Task, policy: SamplingPolicy, data: Data,
                rng: jax.Array, params: Optional[TaskParams] = None
@@ -61,19 +91,13 @@ class ShardedSamplingPlanner(SamplingPlanner):
     n = cfg.num_trajectories
     n_dev = self.mesh.devices.size
     per_dev = n // n_dev
-    dt = m.opt.timestep
 
-    horizon_time = (cfg.horizon - 1) * dt
-    denom = k if cfg.interp == spline.Interp.ZERO else k - 1
-    new_times = data.time + jnp.arange(k, dtype=policy.times.dtype) * (
-        horizon_time / jnp.maximum(denom, 1))
-    nominal = spline.resample(policy.times, policy.values, new_times,
-                              cfg.interp)
+    new_times, nominal = _resample_nominal(cfg, m, policy, data)
     lo, hi = m.actuator_ctrlrange[:, 0], m.actuator_ctrlrange[:, 1]
     scale = jnp.where(m.actuator_ctrllimited, 0.5 * (hi - lo), 1.0)
 
     def shard_eval(rng_shard):
-      """Runs on each device: generate + roll local candidates."""
+      """Runs on each device: generate + roll the local candidate shard."""
       idx = jax.lax.axis_index(AXIS)
       key = jax.random.fold_in(rng_shard[0], idx)
       kn, kb = jax.random.split(key)
@@ -95,30 +119,151 @@ class ShardedSamplingPlanner(SamplingPlanner):
 
       # the scan carry must be marked varying on the candidate axis
       # (each shard evolves its own copies of the replicated start state)
-      data_v = jax.tree.map(
-          lambda x: jax.lax.pcast(x, AXIS, to="varying"), data)
+      data_v = _vary(data)
 
       def ret(values):
         pf = lambda t, d: spline.sample(new_times, values, t, cfg.interp)
         return rollout_mod.rollout_return(task, data_v, pf, cfg.horizon,
                                           params)
 
-      returns = jax.vmap(ret)(cands)
-      # global winner: gather the tiny (N,) returns + (N,k,nu) nodes
-      all_returns = jax.lax.all_gather(returns, AXIS, tiled=True)
-      all_cands = jax.lax.all_gather(cands, AXIS, tiled=True)
-      return all_returns, all_cands
+      return jax.vmap(ret)(cands), cands
 
-    # outputs are all_gathered (identical on every device) → replicated
-    # out_specs; check_vma=False because the VMA system has no
-    # varying→invariant cast for post-all_gather values.
+    # outputs stay sharded (P(AXIS)); the argmin below is a GSPMD-inserted
+    # ICI reduction — no manual all_gather, VMA fully checked
     fn = jax.shard_map(
         shard_eval, mesh=self.mesh, in_specs=(P(AXIS),),
-        out_specs=(P(), P()), check_vma=False)
+        out_specs=(P(AXIS), P(AXIS)))
     rng_per_dev = jnp.tile(rng[None], (n_dev, 1))
     returns, cands = fn(rng_per_dev)
     winner = jnp.argmin(returns)
     new_policy = policy.replace(times=new_times, values=cands[winner])
     info = PlanInfo(costs=returns, winner=winner,
                     best_return=returns[winner])
+    return new_policy, info
+
+
+class ShardedCrossEntropyPlanner(CrossEntropyPlanner):
+  """CEM with the candidate axis sharded over a mesh.
+
+  Rollouts are sharded; the elite top-k + mean/variance refit runs on the
+  gathered (tiny) return/candidate arrays — semantics identical to
+  CrossEntropyPlanner (reference cross_entropy/planner.cc:168-260)."""
+
+  def __init__(self, config: CEMConfig, mesh: Mesh):
+    super().__init__(config)
+    self.mesh = mesh
+    _check_divisible(config.num_trajectories, mesh, "num_trajectories")
+
+  def optimize(self, task: Task, policy: CEMPolicy, data: Data,
+               rng: jax.Array, params: Optional[TaskParams] = None
+               ) -> Tuple[CEMPolicy, PlanInfo]:
+    cfg = self.config
+    m = task.model
+    k, n = cfg.spline_points, cfg.num_trajectories
+    n_dev = self.mesh.devices.size
+    per_dev = n // n_dev
+
+    new_times, nominal = _resample_nominal(cfg, m, policy, data)
+    std_rs = spline.resample(policy.times, policy.std, new_times, cfg.interp)
+    lo, hi = m.actuator_ctrlrange[:, 0], m.actuator_ctrlrange[:, 1]
+
+    def shard_eval(rng_shard):
+      idx = jax.lax.axis_index(AXIS)
+      key = jax.random.fold_in(rng_shard[0], idx)
+      noise = jax.random.normal(key, (per_dev, k, m.nu),
+                                dtype=nominal.dtype) * std_rs[None]
+      # device 0's first candidate is the noise-free nominal
+      first = jnp.logical_and(idx == 0,
+                              jax.lax.broadcasted_iota(
+                                  jnp.int32, (per_dev, 1, 1), 0) == 0)
+      noise = jnp.where(first, 0.0, noise)
+      cands = nominal[None] + noise
+      cands = jnp.where(m.actuator_ctrllimited,
+                        jnp.clip(cands, lo, hi), cands)
+      data_v = _vary(data)
+
+      def ret(values):
+        pf = lambda t, d: spline.sample(new_times, values, t, cfg.interp)
+        return rollout_mod.rollout_return(task, data_v, pf, cfg.horizon,
+                                          params)
+
+      return jax.vmap(ret)(cands), cands
+
+    fn = jax.shard_map(
+        shard_eval, mesh=self.mesh, in_specs=(P(AXIS),),
+        out_specs=(P(AXIS), P(AXIS)))
+    rng_per_dev = jnp.tile(rng[None], (n_dev, 1))
+    returns, cands = fn(rng_per_dev)
+
+    # elite statistics on the (gathered) candidate set — GSPMD turns the
+    # top_k + gathers into the needed collectives
+    _, elite_idx = jax.lax.top_k(-returns, cfg.n_elite)
+    elites = cands[elite_idx]
+    mean = jnp.mean(elites, axis=0)
+    var = jnp.sum((elites - mean[None]) ** 2, axis=0) / jnp.maximum(
+        cfg.n_elite - 1, 1)
+    std = jnp.maximum(jnp.sqrt(var), cfg.std_min)
+
+    new_policy = policy.replace(times=new_times, values=mean, std=std)
+    winner = elite_idx[0]
+    info = PlanInfo(costs=returns, winner=winner,
+                    best_return=returns[winner])
+    return new_policy, info
+
+
+class ShardedRobustPlanner(RobustPlanner):
+  """Robust re-scoring with the candidate axis of the (candidate ×
+  repetition) grid sharded over a mesh (reference
+  robust/robust_planner.cc:91). The delegate's candidate generation runs
+  replicated; the ncandidates × nrepetitions noisy re-evaluations — the
+  expensive part — are sharded."""
+
+  def __init__(self, delegate: SamplingPlanner, config: RobustConfig,
+               mesh: Mesh):
+    super().__init__(delegate, config)
+    self.mesh = mesh
+    _check_divisible(config.ncandidates, mesh, "ncandidates")
+
+  def optimize(self, task: Task, policy, data: Data, rng: jax.Array,
+               params: Optional[TaskParams] = None
+               ) -> Tuple[SamplingPolicy, PlanInfo]:
+    cfg = self.config
+    dcfg = self.delegate.config
+    n_dev = self.mesh.devices.size
+    per_dev = cfg.ncandidates // n_dev
+    rng_c, rng_n = jax.random.split(rng)
+    resampled, cands, returns = self.delegate.candidates(
+        task, policy, data, rng_c, params)
+
+    _, top_idx = jax.lax.top_k(-returns, cfg.ncandidates)
+    top = cands[top_idx]  # (ncand, k, nu)
+
+    def shard_score(rng_shard, top_shard):
+      idx = jax.lax.axis_index(AXIS)
+      key = jax.random.fold_in(rng_shard[0], idx)
+      keys = jax.random.split(key, per_dev * cfg.nrepetitions)
+      keys = keys.reshape(per_dev, cfg.nrepetitions, 2)
+      data_v = _vary(data)
+
+      def score_one(values, k2):
+        pf = lambda t, d: spline.sample(resampled.times, values, t,
+                                        dcfg.interp)
+        return rollout_mod.noisy_rollout(
+            task, data_v, pf, dcfg.horizon, k2,
+            xfrc_std=cfg.xfrc_std, xfrc_rate=cfg.xfrc_rate, params=params)
+
+      return jax.vmap(
+          lambda v, ks: jnp.mean(jax.vmap(lambda kk: score_one(v, kk))(ks))
+      )(top_shard, keys)
+
+    fn = jax.shard_map(
+        shard_score, mesh=self.mesh, in_specs=(P(AXIS), P(AXIS)),
+        out_specs=P(AXIS))
+    rng_per_dev = jnp.tile(rng_n[None], (n_dev, 1))
+    scores = fn(rng_per_dev, top)
+
+    best = jnp.argmin(scores)
+    new_policy = resampled.replace(values=top[best])
+    info = PlanInfo(costs=scores, winner=top_idx[best],
+                    best_return=scores[best])
     return new_policy, info

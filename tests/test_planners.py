@@ -138,6 +138,57 @@ def test_sharded_matches_unsharded_semantics():
   assert info.costs.shape == (32,)
 
 
+def test_sharded_cem_improves_and_contracts_std():
+  """ShardedCrossEntropyPlanner: sharded rollouts, identical CEM stats
+  (VERDICT r1 #10)."""
+  from jax.sharding import Mesh
+  from mujoco_mpc_tpu.parallel import mesh as mesh_mod
+  from mujoco_mpc_tpu.planners import cross_entropy as CE
+
+  task = registry.get_task("Particle")
+  cfg = CE.CEMConfig(num_trajectories=32, n_elite=4, spline_points=5,
+                     horizon=HORIZON)
+  mesh = Mesh(np.array(jax.devices()[:8]), (mesh_mod.AXIS,))
+  planner = mesh_mod.ShardedCrossEntropyPlanner(cfg, mesh)
+  d = _offset_start(task)
+  policy = planner.init(task)
+  std0 = float(jnp.mean(policy.std))
+  opt = jax.jit(planner.optimize)
+  rng = jax.random.PRNGKey(0)
+  first = None
+  for i in range(3):
+    rng, k = jax.random.split(rng)
+    policy, info = opt(task, policy, d, k)
+    if first is None:
+      first = float(info.costs[0])
+  assert float(info.best_return) < first
+  assert float(jnp.mean(policy.std)) < std0
+  assert info.costs.shape == (32,)
+
+
+def test_sharded_robust_rescoring():
+  """ShardedRobustPlanner: candidate × repetition grid sharded over the
+  mesh, winner under disturbance (VERDICT r1 #10)."""
+  from jax.sharding import Mesh
+  from mujoco_mpc_tpu.parallel import mesh as mesh_mod
+  from mujoco_mpc_tpu.planners import robust as RB
+
+  task = registry.get_task("Particle")
+  cfg = sampling.SamplingConfig(num_trajectories=32, spline_points=5,
+                                horizon=HORIZON)
+  mesh = Mesh(np.array(jax.devices()[:8]), (mesh_mod.AXIS,))
+  planner = mesh_mod.ShardedRobustPlanner(
+      sampling.SamplingPlanner(cfg),
+      RB.RobustConfig(ncandidates=8, nrepetitions=2), mesh)
+  d = _offset_start(task)
+  policy = planner.init(task)
+  opt = jax.jit(planner.optimize)
+  rng = jax.random.PRNGKey(0)
+  policy, info = opt(task, policy, d, rng)
+  assert info.costs.shape == (8,)
+  assert bool(jnp.isfinite(info.best_return))
+
+
 def test_ilqg_improves_and_beats_zero_policy():
   from mujoco_mpc_tpu.planners import ilqg as IL
   task = registry.get_task("Particle")
