@@ -52,13 +52,18 @@ def load_task_model(xml_name: str, dtype=jnp.float32, mutate=None):
 # import task modules for registration side effects
 def _register_all():
   from mujoco_mpc_tpu.tasks import acrobot  # noqa: F401
+  from mujoco_mpc_tpu.tasks import allegro  # noqa: F401
   from mujoco_mpc_tpu.tasks import arm_reach  # noqa: F401
   from mujoco_mpc_tpu.tasks import bimanual  # noqa: F401
+  from mujoco_mpc_tpu.tasks import bimanual_insert  # noqa: F401
   from mujoco_mpc_tpu.tasks import bring  # noqa: F401
   from mujoco_mpc_tpu.tasks import cartpole  # noqa: F401
   from mujoco_mpc_tpu.tasks import fingers  # noqa: F401
   from mujoco_mpc_tpu.tasks import hand_reorient  # noqa: F401
   from mujoco_mpc_tpu.tasks import humanoid  # noqa: F401
+  from mujoco_mpc_tpu.tasks import humanoid_interact  # noqa: F401
+  from mujoco_mpc_tpu.tasks import humanoid_track  # noqa: F401
+  from mujoco_mpc_tpu.tasks import op3  # noqa: F401
   from mujoco_mpc_tpu.tasks import particle  # noqa: F401
   from mujoco_mpc_tpu.tasks import push  # noqa: F401
   from mujoco_mpc_tpu.tasks import quadrotor  # noqa: F401
