@@ -168,27 +168,58 @@ def _capsule_box(p1, m1, p2, m2, s1, s2):
 
 
 def _box_box(p1, m1, p2, m2, s1, s2):
-  """Dual 8-corner point queries: 16 candidate points, static shapes.
+  """Face-SAT box-box: one shared manifold normal + 16 corner points.
 
-  Each corner of either box is tested as a zero-radius sphere against the
-  other box (vertex-face contacts both ways). Edge-edge pairs are not
-  generated — adequate for the resting/stacking/manipulation scenes the
-  tasks need (the reference gets MuJoCo's full SAT mjc_BoxBox for free);
-  deep edge penetrations resolve one step later via the corner set.
+  The separating axis is chosen among the 6 face axes (edge-edge axes
+  omitted, as adequate for resting/stacking/manipulation scenes; the
+  reference gets MuJoCo's full mjc_BoxBox for free). All contact points
+  share that single normal — per-corner face queries (the round-1 scheme)
+  produce conflicting side-face normals at face edges, which laterally
+  eject stacked boxes. Corners laterally outside the other box are
+  deactivated through a lateral-overhang guard so slab distance alone
+  cannot create phantom contacts.
   """
-  out = []
-  for sx in (-1.0, 1.0):
-    for sy in (-1.0, 1.0):
-      for sz in (-1.0, 1.0):
-        sgnv = jnp.asarray([sx, sy, sz], dtype=s1.dtype)
-        # corner of box2 in box1: normal comes out pointing g2→g1, flip
-        c2 = p2 + m2 @ (s2 * sgnv)
-        dist, pos, n = _sphere_box_point(c2, 0.0, p1, m1, s1)
-        out.append((dist, pos, -n))
-        # corner of box1 in box2: already g1→g2
-        c1 = p1 + m1 @ (s1 * sgnv)
-        dist, pos, n = _sphere_box_point(c1, 0.0, p2, m2, s2)
-        out.append((dist, pos, n))
+  dtype = s1.dtype
+  t = p2 - p1
+  axes = jnp.concatenate([m1.T, m2.T])  # (6, 3) rows = candidate normals
+  # support radii of each box along every axis
+  r1 = jnp.sum(jnp.abs(axes @ m1) * s1[None, :], axis=-1)  # (6,)
+  r2 = jnp.sum(jnp.abs(axes @ m2) * s2[None, :], axis=-1)
+  proj = axes @ t
+  sep = jnp.abs(proj) - (r1 + r2)  # (6,) negative = overlapping
+  k = jnp.argmax(sep)  # least-penetrating face axis
+  n = axes[k] * jnp.sign(proj[k])  # points box1 → box2
+
+  sup1 = jnp.sum(jnp.abs(n @ m1) * s1)
+  sup2 = jnp.sum(jnp.abs(n @ m2) * s2)
+  big = 4.0 * (jnp.max(s1) + jnp.max(s2))
+
+  def corner_points(pc, mc, sc, po, mo, so, sup_o, sgn):
+    """Corners of the 'c' box against the 'o' box's slab along n."""
+    pts = []
+    n_loc = jnp.abs(mo.T @ n)  # alignment of o's axes with the normal
+    # slack keeps boundary corners load-bearing (a corner exactly at the
+    # face edge must still carry, or offset stacks tip over); phantom
+    # contacts are confined to this small fringe around the face
+    slack = 0.05 * jnp.min(so)
+    for sx in (-1.0, 1.0):
+      for sy in (-1.0, 1.0):
+        for sz in (-1.0, 1.0):
+          c = pc + mc @ (sc * jnp.asarray([sx, sy, sz], dtype=dtype))
+          dist = sgn * jnp.dot(c - po, n) - sup_o
+          # lateral guard: corner must overlap o's cross-section normal
+          # to n; axes aligned with n are excluded via a large penalty
+          local = mo.T @ (c - po)
+          overhang = jnp.max(jnp.abs(local) - so - big * n_loc) - slack
+          d_eff = jnp.maximum(dist, overhang)
+          pos = c - 0.5 * d_eff * sgn * n
+          pts.append((d_eff, pos, n))
+    return pts
+
+  # corners of box2 vs box1 (distance measured along +n past box1's slab)
+  out = corner_points(p2, m2, s2, p1, m1, s1, sup1, 1.0)
+  # corners of box1 vs box2 (along −n past box2's slab)
+  out += corner_points(p1, m1, s1, p2, m2, s2, sup2, -1.0)
   return out
 
 

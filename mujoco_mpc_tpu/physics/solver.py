@@ -1,12 +1,14 @@
 """Soft-constraint solver: contacts + joint limits.
 
 MuJoCo-style compliant constraints (impedance from solimp, reference
-acceleration from solref) solved with a fixed-iteration projected relaxation
-over the contact-space (Delassus) operator — branch-free, static shapes,
-differentiable; the iteration count is a compile-time constant so the whole
-solve fuses into the jitted step. Reference behavior being replaced:
-MuJoCo's PGS/Newton solvers invoked by mj_step inside
-Trajectory::Rollout (mjpc/trajectory.cc:141-180).
+acceleration from solref) solved with fixed-iteration *accelerated
+projected gradient* (APGD) on the regularized dual over the contact-space
+(Delassus) operator — branch-free, static shapes, fully row-parallel
+(TPU-friendly, unlike sequential PGS sweeps), differentiable; the
+iteration count is a compile-time constant so the whole solve fuses into
+the jitted step. Friction is an elliptic (circular) cone projection.
+Reference behavior being replaced: MuJoCo's PGS/Newton solvers invoked by
+mj_step inside Trajectory::Rollout (mjpc/trajectory.cc:141-180).
 """
 
 from __future__ import annotations
@@ -22,8 +24,7 @@ from mujoco_mpc_tpu.physics.types import Data, JointType, Model
 _MINIMP, _MAXIMP = 1e-4, 0.9999
 _DEFAULT_SOLREF = (0.02, 1.0)
 _DEFAULT_SOLIMP = (0.9, 0.95, 0.001, 0.5, 2.0)
-_ITERATIONS = 20
-_RELAX = 0.3
+_ITERATIONS = 25
 
 
 def _impedance(pos: jax.Array, solimp: jax.Array) -> jax.Array:
@@ -213,14 +214,38 @@ def solve(m: Model, d: Data, qacc_smooth: jax.Array,
       f = jnp.maximum(f, 0.0)
     return jnp.where(active, f, 0.0)
 
-  # projected relaxation on f: residual r(f) = a0 + A f − aref
-  def body(_, f):
-    r = a0 + amat @ f - aref
-    f = f - _RELAX * r / (diag + reg)
-    return project(f)
+  # Accelerated projected gradient (APGD, the standard parallel scheme for
+  # contact QPs) on MuJoCo's regularized dual:
+  #   min_f ½ fᵀ(A + R) f + (a0 − aref)ᵀ f   s.t. f ∈ cone
+  # where R = diag((1−d)/d · diag(A)) is the solimp softness — the
+  # regularizer belongs in the *objective* (MuJoCo's soft constraint
+  # semantics), not just the step size. Fully parallel per row (no PGS
+  # sweeps → no sequential scan on TPU); the step uses the Gershgorin
+  # bound λmax(A+R) ≤ max row abs-sum, and Nesterov momentum restarts on
+  # non-monotone steps.
+  b_vec = a0 - aref
+  row_sum = jnp.sum(jnp.abs(amat), axis=-1) + reg
+  step = 1.0 / jnp.maximum(jnp.max(jnp.where(active, row_sum, 0.0)), 1e-8)
+
+  def grad(f):
+    return amat @ f + reg * f + b_vec
 
   f0 = project((aref - a0) / (diag + reg))
-  f = jax.lax.fori_loop(0, _ITERATIONS, body, f0)
+
+  def body(_, carry):
+    f, y, t = carry
+    f_new = project(y - step * grad(y))
+    t_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * t * t))
+    beta = (t - 1.0) / t_new
+    # restart momentum when the step reverses direction (Nesterov restart)
+    df = f_new - f
+    reverse = jnp.sum(df * (y - f_new)) > 0
+    y_new = jnp.where(reverse, f_new, f_new + beta * df)
+    t_new = jnp.where(reverse, 1.0, t_new)
+    return f_new, y_new, t_new
+
+  f, _, _ = jax.lax.fori_loop(
+      0, _ITERATIONS, body, (f0, f0, jnp.ones((), dtype=dtype)))
 
   qfrc = jmat.T @ f
   if have_contacts:

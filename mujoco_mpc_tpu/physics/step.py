@@ -104,17 +104,54 @@ def integrate_pos(m: Model, qpos: jax.Array, qvel: jax.Array,
 
 
 def step(m: Model, d: Data) -> Data:
-  """One semi-implicit Euler step (implicit joint damping).
+  """One physics step: semi-implicit Euler (implicit joint damping), or
+  classic RK4 when the model selects integrator="RK4" (the id is static →
+  the branch resolves at trace time; mj_step's mjINT_RK4 analog).
 
   Sensors are NOT evaluated here — rollout hot loops read Data directly
   (task residuals); call forward() when sensordata is needed.
   """
+  if m.opt.integrator == 1:  # mjINT_RK4
+    return _step_rk4(m, d)
   d = forward(m, d, compute_sensors=False)
   h = m.opt.timestep
   qvel = d.qvel + h * d.qacc
   act = d.act + h * d.act_dot if m.na else d.act
   qpos = integrate_pos(m, d.qpos, qvel, h)
   return d.replace(qpos=qpos, qvel=qvel, act=act, time=d.time + h)
+
+
+def _step_rk4(m: Model, d: Data) -> Data:
+  """Classic 4th-order Runge-Kutta on (qpos, qvel, act) — manifold-aware
+  position updates via integrate_pos (mj_RungeKutta analog)."""
+  h = m.opt.timestep
+  half = 0.5 * h
+
+  def deriv(qpos, qvel, act, t):
+    dd = d.replace(qpos=qpos, qvel=qvel, act=act, time=t)
+    dd = forward(m, dd, compute_sensors=False)
+    return dd.qacc, dd.act_dot, dd
+
+  a1, ad1, d1 = deriv(d.qpos, d.qvel, d.act, d.time)
+  q2 = integrate_pos(m, d.qpos, d.qvel, half)
+  a2, ad2, _ = deriv(q2, d.qvel + half * a1,
+                     d.act + half * ad1 if m.na else d.act, d.time + half)
+  q3 = integrate_pos(m, d.qpos, d.qvel + half * a1, half)
+  a3, ad3, _ = deriv(q3, d.qvel + half * a2,
+                     d.act + half * ad2 if m.na else d.act, d.time + half)
+  q4 = integrate_pos(m, d.qpos, d.qvel + half * a2, h)
+  a4, ad4, _ = deriv(q4, d.qvel + h * a3,
+                     d.act + h * ad3 if m.na else d.act, d.time + h)
+
+  v_avg = (d.qvel + 2 * (d.qvel + half * a1) + 2 * (d.qvel + half * a2) +
+           (d.qvel + h * a3)) / 6.0
+  a_avg = (a1 + 2 * a2 + 2 * a3 + a4) / 6.0
+  qpos = integrate_pos(m, d.qpos, v_avg, h)
+  qvel = d.qvel + h * a_avg
+  act = (d.act + h * (ad1 + 2 * ad2 + 2 * ad3 + ad4) / 6.0
+         if m.na else d.act)
+  # carry d1's derived fields (contacts/forces at the step's start state)
+  return d1.replace(qpos=qpos, qvel=qvel, act=act, time=d.time + h)
 
 
 def inverse(m: Model, d: Data) -> jax.Array:
