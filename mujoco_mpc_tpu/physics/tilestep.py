@@ -31,8 +31,7 @@ import numpy as np
 from mujoco_mpc_tpu.physics.types import (ActDyn, GainBias, GeomType,
                                           JointType, Model, TrnType)
 
-_ITERATIONS = 20  # must match physics/solver.py
-_RELAX = 0.3
+_ITERATIONS = 25  # must match physics/solver.py
 _MINIMP, _MAXIMP = 1e-4, 0.9999
 _DEFAULT_SOLIMP = (0.9, 0.95, 0.001, 0.5, 2.0)
 
@@ -797,14 +796,31 @@ def step_tb(tm: TileModel, qpos, qvel, ctrl):
         f = jnp.maximum(f, 0.0)
       return jnp.where(active_s, f, 0.0)
 
+    # APGD on the regularized dual (must mirror physics/solver.py:
+    # Nesterov with adaptive restart, Gershgorin step)
     dinv = 1.0 / (diag + reg)
     f0 = project((aref_s - a0) * dinv)
+    b_vec = a0 - aref_s
+    row_sum = jnp.sum(jnp.abs(amat), axis=1) + reg  # (nrow, *b)
+    step = 1.0 / jnp.maximum(
+        jnp.max(jnp.where(active_s, row_sum, 0.0), axis=0), 1e-8)  # (*b,)
 
-    def pgs_body(_, f):
-      r = a0 + jnp.sum(amat * f[None], axis=1) - aref_s
-      return project(f - _RELAX * r * dinv)
+    def grad(f):
+      return jnp.sum(amat * f[None], axis=1) + reg * f + b_vec
 
-    f = jax.lax.fori_loop(0, _ITERATIONS, pgs_body, f0)
+    def apgd_body(_, carry):
+      f, y, t = carry
+      f_new = project(y - step[None] * grad(y))
+      t_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * t * t))
+      beta = (t - 1.0) / t_new
+      df = f_new - f
+      reverse = jnp.sum(df * (y - f_new), axis=0) > 0  # (*b,)
+      y_new = jnp.where(reverse[None], f_new, f_new + beta * df)
+      t_new2 = jnp.where(reverse, jnp.ones_like(t), t_new)
+      return f_new, y_new, t_new2
+
+    t0s = jnp.ones(b, dtype=f0.dtype)
+    f, _, _ = jax.lax.fori_loop(0, _ITERATIONS, apgd_body, (f0, f0, t0s))
 
     qfc = jnp.sum(Js * f[:, None], axis=0)  # (nv, *b)
     qfrc_constraint = [qfc[k] for k in range(nv)]
