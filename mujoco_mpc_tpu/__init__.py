@@ -18,3 +18,23 @@ Architecture (TPU-first, not a port):
 """
 
 __version__ = "0.1.0"
+
+# Persistent XLA compilation cache: planner-step compiles are 10-40 s; for
+# interactive/production use a warm cache turns process restarts into
+# millisecond loads (reference MJPC pays zero compile by construction —
+# this is the TPU-native answer). Opt out with MJPC_TPU_NO_CACHE=1.
+import os as _os
+
+if not _os.environ.get("MJPC_TPU_NO_CACHE"):
+  import jax as _jax
+
+  _cache_dir = _os.environ.get(
+      "MJPC_TPU_CACHE_DIR",
+      _os.path.join(_os.path.expanduser("~"), ".cache", "mujoco_mpc_tpu",
+                    "xla"))
+  try:
+    _os.makedirs(_cache_dir, exist_ok=True)
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+  except Exception:  # cache is best-effort; never block import
+    pass

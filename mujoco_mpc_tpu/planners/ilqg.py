@@ -62,6 +62,8 @@ class ILQGConfig:
   reg_min: float = 1e-6
   reg_max: float = 1e2
   feedback_scale: float = 1.0
+  interp: str = "linear"  # feedback interpolation: "zero" | "linear"
+  # (reference ilqg/policy.cc kZero/kLinear representations)
 
   @classmethod
   def from_task(cls, task: Task, horizon_steps: Optional[int] = None):
@@ -188,15 +190,30 @@ class ILQGPlanner:
         reg=jnp.asarray(self.config.reg, dtype=dtype))
 
   def action(self, task: Task, policy: ILQGPolicy, data: Data) -> jax.Array:
-    """u = ū_t + K_t (x − x̄_t), zero-order hold over the time index
-    (reference ilqg/policy.cc:82-140)."""
+    """u = ū_t + K_t (x − x̄_t) with linear interpolation of the feedback
+    terms between time nodes (reference ilqg/policy.cc:82-140 representation
+    kLinear; set config.interp="zero" for zero-order hold).
+
+    Interpolation is done on the *evaluated* feedback u_i + K_i (x ⊖ x̄_i)
+    of the two bracketing nodes — well-defined on quaternion manifolds,
+    where interpolating x̄ itself is not."""
     m = task.model
     dt = m.opt.timestep
     T = self.config.horizon
-    idx = jnp.clip(jnp.floor((data.time - policy.t0) / dt).astype(jnp.int32),
-                   0, T - 1)
-    dx = self._tangent(m, self._state(data), policy.xs[idx])
-    u = policy.us[idx] + policy.feedback_scale * (policy.gains[idx] @ dx)
+    x = self._state(data)
+    rel = (data.time - policy.t0) / dt
+    idx = jnp.clip(jnp.floor(rel).astype(jnp.int32), 0, T - 1)
+
+    def feedback(i):
+      dx = self._tangent(m, x, policy.xs[i])
+      return policy.us[i] + policy.feedback_scale * (policy.gains[i] @ dx)
+
+    if self.config.interp == "zero":
+      u = feedback(idx)
+    else:
+      idx1 = jnp.minimum(idx + 1, T - 1)
+      frac = jnp.clip(rel - idx, 0.0, 1.0)
+      u = (1.0 - frac) * feedback(idx) + frac * feedback(idx1)
     return jnp.where(m.actuator_ctrllimited,
                      jnp.clip(u, m.actuator_ctrlrange[:, 0],
                               m.actuator_ctrlrange[:, 1]), u)
