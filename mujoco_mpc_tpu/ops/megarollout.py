@@ -51,7 +51,9 @@ def _norm_value_t(x, norm: norms.NormType, p, q):
   if norm == norms.NormType.L2:
     return jnp.sqrt(jnp.sum(x * x, axis=0) + p * p) - p
   if norm == norms.NormType.COSH:
-    return jnp.sum(p * p * (jnp.cosh(x / p) - 1.0), axis=0)
+    # explicit exponentials: Mosaic has no cosh lowering
+    z = x / p
+    return jnp.sum(p * p * (0.5 * (jnp.exp(z) + jnp.exp(-z)) - 1.0), axis=0)
   if norm == norms.NormType.POWER_LOSS:
     return jnp.sum(jnp.power(jnp.abs(x), p), axis=0)
   if norm == norms.NormType.SMOOTH_ABS:
@@ -141,7 +143,14 @@ class MegaRollout:
   def __init__(self, task: Task, horizon: int, block: int = 0,
                interpret: bool = False):
     self.tm = tilestep.extract(task.model)
-    self.task = task
+    # numpy-ify the model: under jit, even ops on CONCRETE jnp arrays are
+    # staged onto the innermost trace (omnistaging) — inside the kernel
+    # trace they would become captured array constants, which Pallas
+    # rejects. numpy stays eager under any trace, so model reads in
+    # residuals fold to inline scalar literals.
+    model_np = jax.tree_util.tree_map(np.asarray, task.model)
+    self.task = task.replace(model=model_np)
+    self.acts_hbm = False  # _pick_block may switch actions to HBM + DMA
     self.horizon = horizon
     self.block = block or self._pick_block(horizon)
     self.interpret = interpret
@@ -162,17 +171,32 @@ class MegaRollout:
     )
 
   def _pick_block(self, horizon: int) -> int:
-    """Largest candidate block whose working set fits comfortably in VMEM.
+    """Candidate block = the full (8, 128) f32 tile (1024 candidates).
 
-    Per-candidate bytes ≈ 4·(nrow² + 2·nrow·nv + T·nu + working scalars);
-    the (nrow, nrow) Delassus tile stack dominates contact-rich models.
+    Every stacked scalar occupies one (≤8, 128) f32 tile = 4 KB covering
+    the whole (sub, 128) candidate block — VMEM use is a TILE COUNT,
+    independent of sub, so a bigger block is the same memory at
+    proportionally more lanes. Only the action buffer scales with the
+    block; when it does not fit next to the fixed working set, it stays
+    in HBM and the kernel DMAs one (nu, sub, 128) slab per step
+    (self.acts_hbm).
     """
     tm = self.tm
-    per_cand = 4 * (tm.nrow ** 2 + 2 * tm.nrow * tm.nv +
-                    horizon * tm.nu + 3 * tm.nv * tm.nv + 200)
-    budget = 10 * 1024 * 1024  # leave headroom under ~16 MB VMEM
-    blk = max(128, min(2048, (budget // max(per_cand, 1)) // 128 * 128))
-    return int(blk)
+    dense = tilestep.amat_is_dense(tm.nrow)
+    tiles = (tm.nrow * tm.nv                      # Js
+             + (tm.nrow ** 2 + tm.nrow * tm.nv    # amat + X (dense)
+                if dense else 10 * tm.nv)         # chunk scratch (freed)
+             + 8 * tm.nrow                        # APGD vectors
+             + 2 * tm.nv * tm.nv                  # qM + Cholesky factor
+             + 30 * tm.nbody + 300)               # kinematics live set
+    fixed = tiles * 4096
+    budget = 15 * 1024 * 1024
+    act_bytes = 4 * horizon * tm.nu * 1024
+    self.acts_hbm = fixed + act_bytes > budget
+    if fixed > budget:
+      raise tilestep.UnsupportedModel(
+          f"constraint working set ~{fixed >> 20} MB exceeds VMEM")
+    return 1024
 
   # ------------------------------------------------------------------ pallas
   def returns(self, qpos0, qvel0, actions, params: TaskParams, t0):
@@ -196,9 +220,11 @@ class MegaRollout:
     nrp = max(len(self.task.param_names), 1)
 
     f32 = jnp.float32
+    bshape = (sub, 128)
     # (N, T, nu) → (G, T, nu, S, 128): candidate n = (g, s, l)
     acts = actions.astype(f32).transpose(1, 2, 0).reshape(
-        T, tm.nu, grid, sub, 128).transpose(2, 0, 1, 3, 4)
+        (T, tm.nu, grid) + bshape)
+    acts = jnp.moveaxis(acts, 2, 0)  # (G, T, nu, S, 128)
     w = params.weights.astype(f32).reshape(nterm, 1, 1)
     npar = params.norm_params.astype(f32).reshape(nterm, 2, 1, 1)
     risk = params.risk.astype(f32).reshape(1, 1)
@@ -209,39 +235,63 @@ class MegaRollout:
     t0a = jnp.asarray(t0, f32).reshape(1, 1)
     qp = qpos0.astype(f32).reshape(tm.nq, 1)
     qv = qvel0.astype(f32).reshape(max(tm.nv, 1), 1)
+    acts_hbm = self.acts_hbm and not self.interpret
 
     def kernel(qp_ref, qv_ref, act_ref, w_ref, npar_ref, risk_ref, rp_ref,
-               t0_ref, out_ref):
+               t0_ref, out_ref, *scratch):
       from jax.experimental import pallas as pl  # noqa: shadows outer import
-      action_fn = lambda i: act_ref[0, pl.ds(i, 1)][0]
+      if acts_hbm:
+        act_vmem, sem = scratch
+        g = pl.program_id(0)
+
+        def action_fn(i):
+          # actions live in HBM (the fixed working set fills VMEM);
+          # DMA one (nu, S, 128) slab per step — ~µs against the step's
+          # constraint solve
+          cp = pltpu.make_async_copy(act_ref.at[g, i], act_vmem, sem)
+          cp.start()
+          cp.wait()
+          return act_vmem[:]
+      else:
+        action_fn = lambda i: act_ref[0, pl.ds(i, 1)][0]  # noqa: E731
       out_ref[0] = _rollout_body(
           tm, self.task, T,
-          qp_ref[:, 0], qv_ref[:, 0], action_fn, (sub, 128), jnp.float32,
+          qp_ref[:, 0], qv_ref[:, 0], action_fn, bshape, jnp.float32,
           w_ref[:], npar_ref[:], risk_ref[0, 0], rp_ref[:],
           t0_ref[0, 0])
 
     vm = pltpu.VMEM
+
+    def spec(shape, blocked_first=False):
+      if blocked_first:
+        return pl.BlockSpec(shape, lambda i: (i,) + (0,) * (len(shape) - 1),
+                            memory_space=vm)
+      return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                          memory_space=vm)
+
+    if acts_hbm:
+      act_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+      scratch_shapes = [pltpu.VMEM((tm.nu,) + bshape, f32),
+                        pltpu.SemaphoreType.DMA]
+    else:
+      act_spec = spec((1, T, tm.nu) + bshape, blocked_first=True)
+      scratch_shapes = []
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((grid, sub, 128), f32),
+        out_shape=jax.ShapeDtypeStruct((grid,) + bshape, f32),
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec((tm.nq, 1), lambda i: (0, 0), memory_space=vm),
-            pl.BlockSpec((max(tm.nv, 1), 1), lambda i: (0, 0),
-                         memory_space=vm),
-            pl.BlockSpec((1, T, tm.nu, sub, 128),
-                         lambda i: (i, 0, 0, 0, 0), memory_space=vm),
-            pl.BlockSpec((nterm, 1, 1), lambda i: (0, 0, 0),
-                         memory_space=vm),
-            pl.BlockSpec((nterm, 2, 1, 1), lambda i: (0, 0, 0, 0),
-                         memory_space=vm),
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=vm),
-            pl.BlockSpec((nrp, 1, 1), lambda i: (0, 0, 0),
-                         memory_space=vm),
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=vm),
+            spec((tm.nq, 1)),
+            spec((max(tm.nv, 1), 1)),
+            act_spec,
+            spec((nterm, 1, 1)),
+            spec((nterm, 2, 1, 1)),
+            spec((1, 1)),
+            spec((nrp, 1, 1)),
+            spec((1, 1)),
         ],
-        out_specs=pl.BlockSpec((1, sub, 128), lambda i: (i, 0, 0),
-                               memory_space=vm),
+        out_specs=spec((1,) + bshape, blocked_first=True),
+        scratch_shapes=scratch_shapes,
         interpret=self.interpret,
     )(qp, qv, acts, w, npar, risk, rp, t0a)
     return out.reshape(n)

@@ -27,18 +27,40 @@ def _frame(m: Model, d: Data, objtype: int, objid: int):
 
 
 def _point_vel(d: Data, body: int, point: jax.Array) -> jax.Array:
-  """World linear velocity of a body-fixed point (world-origin cvel)."""
+  """World linear velocity of a body-fixed point (world-origin cvel).
+
+  Batch-trailing polymorphic: accepts (6,) cvel rows or (6, *b) tiles
+  (megakernel residuals run this on the tilestep view)."""
   v = d.cvel[body]
-  return v[3:] + jnp.cross(v[:3], point)
+  return v[3:] + cross0(v[:3], point)
+
+
+def cross0(a, b):
+  """Cross product over leading axis 0 — polymorphic for (3,) vectors and
+  (3, *b) tile stacks, with no transpose (Mosaic-friendly)."""
+  return jnp.stack([a[1] * b[2] - a[2] * b[1],
+                    a[2] * b[0] - a[0] * b[2],
+                    a[0] * b[1] - a[1] * b[0]])
+
+
+def _pyscalar(x):
+  """Python float for concrete values, tracer passthrough.
+
+  Megakernel residuals trace with a CONCRETE model: converting model
+  scalars to python floats keeps them inline literals instead of staged
+  gathers that Pallas would reject as captured array constants. On the
+  general path the model may be traced (system ID) — pass through."""
+  return x if isinstance(x, jax.core.Tracer) else float(x)
 
 
 def subtree_linvel(m: Model, d: Data, body: int) -> jax.Array:
   """Subtree CoM linear velocity = momentum / subtree mass (mjSENS_
   SUBTREELINVEL); static descendant set, unrolled at trace time."""
-  mom = jnp.zeros(3, dtype=d.qpos.dtype)
+  mom = None
   for b in _descendants(m, body):
-    mom = mom + m.body_mass[b] * _point_vel(d, b, d.xipos[b])
-  return mom / jnp.maximum(m.body_subtreemass[body], 1e-12)
+    term = _pyscalar(m.body_mass[b]) * _point_vel(d, b, d.xipos[b])
+    mom = term if mom is None else mom + term
+  return mom / jnp.maximum(_pyscalar(m.body_subtreemass[body]), 1e-12)
 
 
 def subtree_angmom(m: Model, d: Data, body: int) -> jax.Array:

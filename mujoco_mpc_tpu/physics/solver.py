@@ -25,6 +25,7 @@ _MINIMP, _MAXIMP = 1e-4, 0.9999
 _DEFAULT_SOLREF = (0.02, 1.0)
 _DEFAULT_SOLIMP = (0.9, 0.95, 0.001, 0.5, 2.0)
 _ITERATIONS = 25
+_POWER_ITERS = 8  # λmax power-iteration steps (shared with tilestep)
 
 
 def _impedance(pos: jax.Array, solimp: jax.Array) -> jax.Array:
@@ -224,8 +225,23 @@ def solve(m: Model, d: Data, qacc_smooth: jax.Array,
   # bound λmax(A+R) ≤ max row abs-sum, and Nesterov momentum restarts on
   # non-monotone steps.
   b_vec = a0 - aref
-  row_sum = jnp.sum(jnp.abs(amat), axis=-1) + reg
-  step = 1.0 / jnp.maximum(jnp.max(jnp.where(active, row_sum, 0.0)), 1e-8)
+
+  def opmul(v):
+    """(A + R) v restricted to active rows (inactive f is pinned at 0)."""
+    v = jnp.where(active, v, 0.0)
+    return jnp.where(active, amat @ v + reg * v, 0.0)
+
+  # step = 1/λmax(A+R) via power iteration (deterministic start). The
+  # Gershgorin row-sum bound needs |A| materialized — this form has a
+  # matrix-free analog used by the tile megakernel (physics/tilestep.py),
+  # so both paths share one iterate sequence. The 1.25 factor covers the
+  # Rayleigh quotient's underestimate; Nesterov restart absorbs the rest.
+  v = jnp.where(active, 1.0, 0.0).astype(dtype)
+  for _ in range(_POWER_ITERS):
+    w = opmul(v)
+    v = w / jnp.maximum(jnp.sqrt(jnp.sum(w * w)), 1e-30)
+  lam = jnp.sum(v * opmul(v))
+  step = 1.0 / jnp.maximum(1.25 * lam, 1e-8)
 
   def grad(f):
     return amat @ f + reg * f + b_vec

@@ -40,6 +40,12 @@ class UnsupportedModel(Exception):
   """Model is outside the megakernel's supported class."""
 
 
+def amat_is_dense(nrow: int) -> bool:
+  """Whether the (nrow, nrow) Delassus tile stack is materialized (~4 MB
+  of (8,128) f32 tiles) or the constraint solve runs matrix-free."""
+  return nrow * nrow * 4096 <= 4 * 1024 * 1024
+
+
 # ---------------------------------------------------------------------------
 # build-time extraction: all model constants as concrete numpy
 # ---------------------------------------------------------------------------
@@ -49,12 +55,13 @@ class UnsupportedModel(Exception):
 class ConPoint:
   """One static candidate contact point (collision.py pair expansion)."""
   kind: str  # 'plane_sphere' | 'plane_capend' | 'sphere_sphere'
-  #            | 'sphere_cap' | 'cap_cap'
+  #            | 'sphere_cap' | 'cap_cap' | 'plane_boxcorner'
+  #            | 'sphere_box' | 'cap_box' | 'boxbox_corner'
   g1: int
   g2: int
   body1: int
   body2: int
-  sign: float  # ±1 capsule-end selector (plane_capend)
+  sign: float  # ±1 capsule-end selector (plane_capend / cap_box)
   r1: float
   r2: float
   half1: float
@@ -65,6 +72,10 @@ class ConPoint:
   solref: np.ndarray
   solimp: np.ndarray
   margin: float
+  size1: Optional[np.ndarray] = None  # (3,) full box size of g1
+  size2: Optional[np.ndarray] = None  # (3,) full box size of g2
+  corner: Optional[np.ndarray] = None  # (3,) ±1 corner selector (box kinds)
+  owner: int = 0  # boxbox_corner: 1 = corner of box1, 2 = corner of box2
 
 
 @dataclasses.dataclass
@@ -97,6 +108,8 @@ class TileModel:
   dof_armature: np.ndarray
   dof_body_mask: np.ndarray  # (nv, nbody) bool
   dof_ancestor_mask: np.ndarray  # (nv, nv)
+  cdofdot_vel_mask: np.ndarray  # (nv, nv): dofs whose vel rotates cdof[k]
+  dof_body: tuple  # (nv,) body id of every dof
   # actuators (scalar joint transmission)
   act_vadr: np.ndarray  # (nu,) dof index
   act_qadr: np.ndarray  # (nu,)
@@ -151,8 +164,9 @@ def extract(m: Model) -> TileModel:
     return np.asarray(x)
 
   for jt in m.jnt_type:
-    if jt not in (JointType.HINGE, JointType.SLIDE):
-      raise UnsupportedModel("only hinge/slide joints")
+    if jt not in (JointType.HINGE, JointType.SLIDE, JointType.BALL,
+                  JointType.FREE):
+      raise UnsupportedModel(f"joint type {jt}")
   if m.na != 0:
     raise UnsupportedModel("stateful actuators")
   if m.nmocap != 0 and any(mid >= 0 for mid in m.body_mocapid):
@@ -162,12 +176,16 @@ def extract(m: Model) -> TileModel:
   if m.has_spring or m.has_frictionloss:
     raise UnsupportedModel("joint springs/frictionloss")
 
-  # actuators: scalar joint transmissions only
+  # actuators: scalar joint transmissions only (quaternion-joint gears and
+  # site transmissions stay on the general path)
   for u in range(m.nu):
     if m.actuator_trntype[u] != TrnType.JOINT:
       raise UnsupportedModel("non-joint transmission")
     if m.actuator_dyntype[u] != ActDyn.NONE:
       raise UnsupportedModel("actuator dynamics")
+    if m.jnt_type[m.actuator_trnid[u]] not in (JointType.HINGE,
+                                               JointType.SLIDE):
+      raise UnsupportedModel("actuator on quaternion joint")
 
   # contacts: static pointwise expansion of the supported pairs
   con_points = []
@@ -206,6 +224,15 @@ def extract(m: Model) -> TileModel:
           con_points.append(ConPoint(kind="plane_capend", sign=sgn,
                                      frame=frame, ppos=geom_xpos0[g1],
                                      **common))
+      elif t2 == GeomType.BOX:
+        # collision._plane_box: all 8 corners as candidate points
+        for sx in (-1.0, 1.0):
+          for sy in (-1.0, 1.0):
+            for sz in (-1.0, 1.0):
+              con_points.append(ConPoint(
+                  kind="plane_boxcorner", sign=0.0, frame=frame,
+                  ppos=geom_xpos0[g1], size2=gs[g2].astype(np.float32),
+                  corner=np.asarray([sx, sy, sz], np.float32), **common))
       else:
         raise UnsupportedModel(f"pair {t1}/{t2}")
     elif (t1, t2) == (GeomType.SPHERE, GeomType.SPHERE):
@@ -217,11 +244,43 @@ def extract(m: Model) -> TileModel:
     elif (t1, t2) == (GeomType.CAPSULE, GeomType.CAPSULE):
       con_points.append(ConPoint(kind="cap_cap", sign=0.0,
                                  frame=None, ppos=None, **common))
+    elif (t1, t2) == (GeomType.SPHERE, GeomType.BOX):
+      con_points.append(ConPoint(kind="sphere_box", sign=0.0,
+                                 frame=None, ppos=None,
+                                 size2=gs[g2].astype(np.float32), **common))
+    elif (t1, t2) == (GeomType.CAPSULE, GeomType.BOX):
+      # collision._capsule_box: sphere-box query at each capsule end
+      for sgn in (-1.0, 1.0):
+        con_points.append(ConPoint(kind="cap_box", sign=sgn,
+                                   frame=None, ppos=None,
+                                   size2=gs[g2].astype(np.float32),
+                                   **common))
+    elif (t1, t2) == (GeomType.BOX, GeomType.BOX):
+      # collision._box_box: face-SAT shared normal + 16 corner points
+      for owner in (2, 1):  # box2 corners first (collision.py order)
+        for sx in (-1.0, 1.0):
+          for sy in (-1.0, 1.0):
+            for sz in (-1.0, 1.0):
+              con_points.append(ConPoint(
+                  kind="boxbox_corner", sign=0.0, frame=None, ppos=None,
+                  size1=gs[g1].astype(np.float32),
+                  size2=gs[g2].astype(np.float32),
+                  corner=np.asarray([sx, sy, sz], np.float32),
+                  owner=owner, **common))
     else:
       raise UnsupportedModel(f"pair {t1}/{t2}")
 
   lim = [j for j in range(m.njnt) if m.jnt_limited[j]]
+  for j in lim:
+    if m.jnt_type[j] not in (JointType.HINGE, JointType.SLIDE):
+      raise UnsupportedModel("limit on quaternion joint")
   jr = npy(m.jnt_range)
+
+  dof_body = [0] * m.nv
+  for j in range(m.njnt):
+    ndof = {JointType.FREE: 6, JointType.BALL: 3}.get(m.jnt_type[j], 1)
+    for i in range(ndof):
+      dof_body[m.jnt_dofadr[j] + i] = m.jnt_bodyid[j]
 
   return TileModel(
       nq=m.nq, nv=m.nv, nu=m.nu, nbody=m.nbody, njnt=m.njnt,
@@ -239,6 +298,8 @@ def extract(m: Model) -> TileModel:
       dof_damping=npy(m.dof_damping), dof_armature=npy(m.dof_armature),
       dof_body_mask=npy(m.dof_body_mask),
       dof_ancestor_mask=npy(m.dof_ancestor_mask),
+      cdofdot_vel_mask=npy(m.cdofdot_vel_mask),
+      dof_body=tuple(dof_body),
       act_vadr=np.asarray([m.jnt_dofadr[m.actuator_trnid[u]]
                            for u in range(m.nu)], np.int32),
       act_qadr=np.asarray([m.jnt_qposadr[m.actuator_trnid[u]]
@@ -339,6 +400,29 @@ def _quat_to_mat(q):
       jnp.stack([2 * (x * z - w * y), 2 * (y * z + w * x),
                  1 - 2 * (x * x + y * y)]),
   ])
+
+
+def _quat_normalize(q):
+  inv = 1.0 / jnp.sqrt(jnp.maximum(
+      q[0] * q[0] + q[1] * q[1] + q[2] * q[2] + q[3] * q[3], 1e-24))
+  return jnp.stack([q[0] * inv, q[1] * inv, q[2] * inv, q[3] * inv])
+
+
+def _quat_integrate(q, w0, w1, w2, dt: float):
+  """math.quat_integrate in tile layout: exact exponential map of the
+  body-frame angular velocity, NaN-free at ω = 0, renormalized."""
+  sq = w0 * w0 + w1 * w1 + w2 * w2
+  small = sq < 1e-24
+  theta = jnp.sqrt(jnp.where(small, 1.0, sq))
+  inv = 1.0 / theta
+  half = 0.5 * theta * dt
+  s = jnp.sin(half) * inv
+  dq = jnp.stack([jnp.where(small, jnp.cos(half) * 0.0 + 1.0,
+                            jnp.cos(half)),
+                  jnp.where(small, w0 * 0.0, w0 * s),
+                  jnp.where(small, w0 * 0.0, w1 * s),
+                  jnp.where(small, w0 * 0.0, w2 * s)])
+  return _quat_normalize(_quat_mul(q, dq))
 
 
 def _axis_angle_quat(axis_const: np.ndarray, angle):
@@ -444,8 +528,22 @@ def step_tb(tm: TileModel, qpos, qvel, ctrl):
       qadr = tm.jnt_qposadr[j]
       ax = one_c(tm.jnt_axis[j])
       jp = one_c(tm.jnt_pos[j])
+      if tm.jnt_type[j] == JointType.FREE:
+        pos = jnp.stack([qpos[qadr], qpos[qadr + 1], qpos[qadr + 2]])
+        quat = _quat_normalize(
+            jnp.stack([qpos[qadr + 3], qpos[qadr + 4],
+                       qpos[qadr + 5], qpos[qadr + 6]]))
+        xanchor[j] = pos
+        xaxis[j] = _quat_rot(quat, ax)
+        continue
       anchor = pos + _quat_rot(quat, jp)
-      if tm.jnt_type[j] == JointType.SLIDE:
+      if tm.jnt_type[j] == JointType.BALL:
+        qloc = _quat_normalize(
+            jnp.stack([qpos[qadr], qpos[qadr + 1],
+                       qpos[qadr + 2], qpos[qadr + 3]]))
+        quat = _quat_mul(quat, qloc)
+        pos = anchor - _quat_rot(quat, jp)
+      elif tm.jnt_type[j] == JointType.SLIDE:
         pos = pos + _quat_rot(quat, ax) * (
             qpos[qadr] - float(tm.qpos0[qadr]))
       else:  # HINGE
@@ -464,31 +562,59 @@ def step_tb(tm: TileModel, qpos, qvel, ctrl):
            for bd in range(nbody)]
 
   # ---- cdof (world-origin motion subspace) per dof: (6 tiles)
-  cdof = []  # list of (ang(3,*b), lin(3,*b))
-  for j in range(tm.njnt):
-    if tm.jnt_type[j] == JointType.SLIDE:
-      cdof.append((jnp.stack([zero, zero, zero]), xaxis[j]))
-    else:
-      cdof.append((xaxis[j], _cross(xanchor[j], xaxis[j])))
-
-  # ---- body spatial velocities + cdof_dot (dynamics.com_vel semantics)
-  dof_of_body = [[] for _ in range(nbody)]
-  for j in range(tm.njnt):
-    dof_of_body[tm.jnt_bodyid[j]].append(tm.jnt_dofadr[j])
+  #      dynamics.com_pos semantics: slide/hinge use xaxis; ball/free
+  #      rotations use body-frame axes (xmat columns); free translations
+  #      are the constant world axes
   zero3 = jnp.stack([zero, zero, zero])
-  cvel = [(zero3, zero3)]
-  cdof_dot = [None] * nv
-  for bd in range(1, nbody):
-    va, vl = cvel[tm.body_parentid[bd]]
-    for k in dof_of_body[bd]:
-      ca, cl = cdof[k]
-      # motion cross of chain velocity with cdof (hinge/slide: pre-update v)
-      dot_a = _cross(va, ca)
-      dot_l = _cross(va, cl) + _cross(vl, ca)
-      cdof_dot[k] = (dot_a, dot_l)
-      va = va + ca * qvel[k]
-      vl = vl + cl * qvel[k]
-    cvel.append((va, vl))
+  cdof = [None] * nv  # entries: (ang(3,*b), lin(3,*b))
+  for j in range(tm.njnt):
+    k0 = tm.jnt_dofadr[j]
+    jt = tm.jnt_type[j]
+    bd = tm.jnt_bodyid[j]
+    if jt == JointType.SLIDE:
+      cdof[k0] = (zero3, xaxis[j])
+    elif jt == JointType.HINGE:
+      cdof[k0] = (xaxis[j], _cross(xanchor[j], xaxis[j]))
+    else:  # BALL / FREE
+      if jt == JointType.FREE:
+        for i in range(3):
+          cdof[k0 + i] = (zero3, jnp.stack(
+              [zero + 1.0 if c == i else zero for c in range(3)]))
+        rot0, anchor = k0 + 3, xpos[bd]
+      else:
+        rot0, anchor = k0, xanchor[j]
+      R = xmat[bd]
+      for i in range(3):
+        ang = jnp.stack([R[0, i], R[1, i], R[2, i]])
+        cdof[rot0 + i] = (ang, _cross(anchor, ang))
+
+  # ---- body spatial velocities + cdof_dot (dynamics.com_vel semantics:
+  #      the same static masks as the mask-matmul formulation — exact
+  #      sparse unroll here, where each entry is a whole candidate tile)
+  contrib = [(cdof[k][0] * qvel[k], cdof[k][1] * qvel[k]) for k in range(nv)]
+
+  def _msum(ks, comp):
+    if not ks:
+      return zero3
+    acc = contrib[ks[0]][comp]
+    for k in ks[1:]:
+      acc = acc + contrib[k][comp]
+    return acc
+
+  cvel = []
+  for bd in range(nbody):
+    ks = [k for k in range(nv) if tm.dof_body_mask[k, bd]]
+    cvel.append((_msum(ks, 0), _msum(ks, 1)))
+  cdof_dot = []
+  for k in range(nv):
+    ks = [i for i in range(nv) if tm.cdofdot_vel_mask[k, i]]
+    va, vl = _msum(ks, 0), _msum(ks, 1)
+    ca, cl = cdof[k]
+    cdof_dot.append((_cross(va, ca), _cross(va, cl) + _cross(vl, ca)))
+
+  dof_of_body = [[] for _ in range(nbody)]
+  for k in range(nv):
+    dof_of_body[tm.dof_body[k]].append(k)
 
   # ---- spatial inertia about world origin per body (6x6 blocks):
   #      [[Iw + m C Cᵀ, m C], [m Cᵀ, m 1]],  C = skew(com)
@@ -543,9 +669,7 @@ def step_tb(tm: TileModel, qpos, qvel, ctrl):
     lin = -_cross(mc, va) + mm * vl
     return ang, lin
 
-  dof_body = [None] * nv
-  for j in range(tm.njnt):
-    dof_body[tm.jnt_dofadr[j]] = tm.jnt_bodyid[j]
+  dof_body = tm.dof_body
 
   # qM[i, j] = cdof_i · (IC_j cdof_j) for i ancestor-or-self of j
   f_dof = [comp_mul(dof_body[j], cdof[j][0], cdof[j][1]) for j in range(nv)]
@@ -644,11 +768,30 @@ def step_tb(tm: TileModel, qpos, qvel, ctrl):
     rows_diagref = []  # (imp,) per row for regularization
     rows_k, rows_b, rows_imp = [], [], []
 
+    _gf_memo = {}
+
     def geom_frame(g):
-      bg = tm.geom_bodyid[g]
-      gpos = xpos[bg] + _quat_rot(xquat[bg], one_c(tm.geom_pos[g]))
-      gquat = _quat_mul(xquat[bg], one_c(tm.geom_quat[g]))
-      return gpos, gquat
+      if g not in _gf_memo:
+        bg = tm.geom_bodyid[g]
+        gpos = xpos[bg] + _quat_rot(xquat[bg], one_c(tm.geom_pos[g]))
+        gquat = _quat_mul(xquat[bg], one_c(tm.geom_quat[g]))
+        _gf_memo[g] = (gpos, gquat)
+      return _gf_memo[g]
+
+    _gm_memo = {}
+
+    def geom_mat(g):
+      if g not in _gm_memo:
+        _gm_memo[g] = _quat_to_mat(geom_frame(g)[1])
+      return _gm_memo[g]
+
+    def mat_vec(M, v):
+      return jnp.stack([sum(M[i, k] * v[k] for k in range(3))
+                        for i in range(3)])
+
+    def mat_tvec(M, v):
+      return jnp.stack([sum(M[k, i] * v[k] for k in range(3))
+                        for i in range(3)])
 
     def geom_axis(gquat):
       gmat = _quat_to_mat(gquat)
@@ -663,6 +806,83 @@ def step_tb(tm: TileModel, qpos, qvel, ctrl):
       t1 = _cross(n, ref)
       t1 = t1 / jnp.sqrt(jnp.maximum(_dot3(t1, t1), 1e-24))
       return n, t1, _cross(n, t1)
+
+    def sphere_box_point(center, radius, bp, bm, bsize):
+      """Tile version of collision._sphere_box_point (argmin → wheres)."""
+      rel = center - bp
+      local = mat_tvec(bm, rel)
+      s = [float(bsize[i]) for i in range(3)]
+      absl = [jnp.abs(local[i]) for i in range(3)]
+      clamped = [jnp.clip(local[i], -s[i], s[i]) for i in range(3)]
+      inside = (absl[0] < s[0]) & (absl[1] < s[1]) & (absl[2] < s[2])
+      fd = [s[i] - absl[i] for i in range(3)]
+      # one-hot argmin with first-min tie-break (matches jnp.argmin)
+      is_k = [(fd[0] <= fd[1]) & (fd[0] <= fd[2])]
+      is_k.append(jnp.logical_not(is_k[0]) & (fd[1] <= fd[2]))
+      is_k.append(jnp.logical_not(is_k[0] | is_k[1]))
+      sgn = [jnp.sign(local[i]) for i in range(3)]
+      surf = jnp.stack([
+          jnp.where(inside,
+                    jnp.where(is_k[i], sgn[i] * s[i], local[i]),
+                    clamped[i]) for i in range(3)])
+      world = bp + mat_vec(bm, surf)
+      delta = center - world
+      dn = jnp.sqrt(jnp.maximum(_dot3(delta, delta), 0.0))
+      inv = 1.0 / jnp.maximum(dn, 1e-12)
+      n_out = jnp.stack([-delta[i] * inv for i in range(3)])
+      push = jnp.stack([jnp.where(is_k[i], -sgn[i], zero)
+                        for i in range(3)])
+      n_in = mat_vec(bm, push)
+      n = jnp.stack([jnp.where(inside, n_in[i], n_out[i])
+                     for i in range(3)])
+      dist = jnp.where(inside, -dn - radius, dn - radius)
+      pos = world - 0.5 * dist * n
+      return dist, pos, n
+
+    _sat_memo = {}
+
+    def boxbox_sat(g1, g2, s1, s2):
+      """Shared face-SAT data for a box-box pair (collision._box_box)."""
+      key = (g1, g2)
+      if key in _sat_memo:
+        return _sat_memo[key]
+      p1, _ = geom_frame(g1)
+      p2, _ = geom_frame(g2)
+      m1, m2 = geom_mat(g1), geom_mat(g2)
+      t = p2 - p1
+      axes, r_sum, proj = [], [], []
+      for M in (m1, m2):
+        for a in range(3):
+          ax = jnp.stack([M[0, a], M[1, a], M[2, a]])
+          r1 = sum(jnp.abs(_dot3(ax, jnp.stack([m1[0, i], m1[1, i],
+                                                m1[2, i]]))) * float(s1[i])
+                   for i in range(3))
+          r2 = sum(jnp.abs(_dot3(ax, jnp.stack([m2[0, i], m2[1, i],
+                                                m2[2, i]]))) * float(s2[i])
+                   for i in range(3))
+          axes.append(ax)
+          r_sum.append(r1 + r2)
+          proj.append(_dot3(ax, t))
+      # first-max argmax over the 6 separations (matches jnp.argmax)
+      best_sep = jnp.abs(proj[0]) - r_sum[0]
+      best_ax, best_proj = axes[0], proj[0]
+      for a in range(1, 6):
+        sep = jnp.abs(proj[a]) - r_sum[a]
+        take = sep > best_sep
+        best_sep = jnp.maximum(best_sep, sep)
+        best_ax = jnp.stack([jnp.where(take, axes[a][i], best_ax[i])
+                             for i in range(3)])
+        best_proj = jnp.where(take, proj[a], best_proj)
+      n = best_ax * jnp.sign(best_proj)
+      sup1 = sum(jnp.abs(_dot3(n, jnp.stack([m1[0, i], m1[1, i],
+                                             m1[2, i]]))) * float(s1[i])
+                 for i in range(3))
+      sup2 = sum(jnp.abs(_dot3(n, jnp.stack([m2[0, i], m2[1, i],
+                                             m2[2, i]]))) * float(s2[i])
+                 for i in range(3))
+      out = (p1, m1, p2, m2, n, sup1, sup2, frame_from_normal(n))
+      _sat_memo[key] = out
+      return out
 
     for ci in range(ncon):
       cp = tm.con_points[ci]
@@ -680,6 +900,57 @@ def step_tb(tm: TileModel, qpos, qvel, ctrl):
         scale = r + 0.5 * dist
         cpos = jnp.stack([end[k] - float(n_c[k]) * scale for k in range(3)])
         frame = tuple(cp.frame[row] for row in range(3))  # numpy rows
+      elif cp.kind == "plane_boxcorner":
+        # collision._plane_box: one candidate per box corner
+        gpos, _ = geom_frame(cp.g2)
+        off = (cp.size2 * cp.corner).astype(np.float32)
+        corner = gpos + mat_vec(geom_mat(cp.g2), jnp.stack(
+            [zero + float(off[i]) for i in range(3)]))
+        n_c = cp.frame[0]
+        dist = (float(n_c[0]) * (corner[0] - float(cp.ppos[0])) +
+                float(n_c[1]) * (corner[1] - float(cp.ppos[1])) +
+                float(n_c[2]) * (corner[2] - float(cp.ppos[2])))
+        cpos = jnp.stack([corner[k] - float(n_c[k]) * 0.5 * dist
+                          for k in range(3)])
+        frame = tuple(cp.frame[row] for row in range(3))
+      elif cp.kind in ("sphere_box", "cap_box"):
+        p1, q1 = geom_frame(cp.g1)
+        if cp.kind == "cap_box":
+          p1 = p1 + cp.sign * cp.half1 * geom_axis(q1)
+        p2, _ = geom_frame(cp.g2)
+        dist, cpos, n = sphere_box_point(
+            p1, cp.r1, p2, geom_mat(cp.g2), cp.size2)
+        frame = frame_from_normal(n)
+      elif cp.kind == "boxbox_corner":
+        p1, m1, p2, m2, n, sup1, sup2, frame = boxbox_sat(
+            cp.g1, cp.g2, cp.size1, cp.size2)
+        if cp.owner == 2:  # corner of box2 against box1's slab
+          pc, mc, sc = p2, m2, cp.size2
+          po, mo, so = p1, m1, cp.size1
+          sup_o, sgn = sup1, 1.0
+        else:  # corner of box1 against box2's slab
+          pc, mc, sc = p1, m1, cp.size1
+          po, mo, so = p2, m2, cp.size2
+          sup_o, sgn = sup2, -1.0
+        off = (sc * cp.corner).astype(np.float32)
+        c = pc + mat_vec(mc, jnp.stack(
+            [zero + float(off[i]) for i in range(3)]))
+        rel = c - po
+        dist = sgn * _dot3(rel, n) - sup_o
+        # lateral-overhang guard (collision._box_box corner_points)
+        local = mat_tvec(mo, rel)
+        n_loc = mat_tvec(mo, n)
+        big = 4.0 * (float(np.max(cp.size1)) + float(np.max(cp.size2)))
+        slack = 0.05 * float(np.min(so))
+        overhang = jnp.maximum(
+            jnp.maximum(
+                jnp.abs(local[0]) - float(so[0]) - big * jnp.abs(n_loc[0]),
+                jnp.abs(local[1]) - float(so[1]) - big * jnp.abs(n_loc[1])),
+            jnp.abs(local[2]) - float(so[2]) - big * jnp.abs(n_loc[2]),
+        ) - slack
+        dist = jnp.maximum(dist, overhang)
+        cpos = jnp.stack([c[i] - 0.5 * dist * sgn * n[i]
+                          for i in range(3)])
       else:
         p1, q1 = geom_frame(cp.g1)
         p2, q2 = geom_frame(cp.g2)
@@ -767,13 +1038,34 @@ def step_tb(tm: TileModel, qpos, qvel, ctrl):
     imp_s = jnp.stack(rows_imp)
     aref_s = -imp_s * (kpos + b_r)
 
-    # X = M⁻¹ Jᵀ via one multi-RHS masked-unrolled solve (payload = rows)
-    X = _chol_solve_tb(L, [Js[:, k] for k in range(nv)], nv)  # nv×(nrow,*b)
+    # Delassus algebra. Two regimes sharing one iterate sequence:
+    #  - dense: materialize A = J M⁻¹ Jᵀ ((nrow, nrow) tile stack) — best
+    #    when it fits VMEM (small nrow);
+    #  - matrix-free: A·v = J·M⁻¹·(Jᵀv) with an unrolled Cholesky solve
+    #    per product — the (nrow)² stack never exists, which is what lets
+    #    contact-rich free-joint models (humanoid: nrow ~64) run at the
+    #    full (8, 128) candidate tile. Threshold: ~4 MB of A-tiles.
+    dense_amat = amat_is_dense(nrow)
 
-    # Delassus A[r, c] = Σ_k J[r, k] X[k][c]: nv fused outer products
-    amat = sum(Js[:, k][:, None] * X[k][None, :] for k in range(nv))
-    diag = jnp.clip(jnp.stack([amat[r_i, r_i] for r_i in range(nrow)]),
-                    1e-10, None)
+    def solve_vk(vec_k):
+      """M⁻¹ applied to a dof-indexed list of tiles."""
+      return _chol_solve_tb(L, vec_k, nv)
+
+    if dense_amat:
+      # X = M⁻¹ Jᵀ via one multi-RHS masked-unrolled solve (payload=rows)
+      X = solve_vk([Js[:, k] for k in range(nv)])  # nv × (nrow, *b)
+      amat = sum(Js[:, k][:, None] * X[k][None, :] for k in range(nv))
+      diag = jnp.clip(jnp.stack([amat[r_i, r_i] for r_i in range(nrow)]),
+                      1e-10, None)
+    else:
+      # chunked diag: diag[r] = J_r · M⁻¹ J_rᵀ, 8 rows at a time (the
+      # full X would be as large as Js again)
+      diag_parts = []
+      for r0 in range(0, nrow, 8):
+        r1 = min(r0 + 8, nrow)
+        Xc = solve_vk([Js[r0:r1, k] for k in range(nv)])
+        diag_parts.append(sum(Js[r0:r1, k] * Xc[k] for k in range(nv)))
+      diag = jnp.clip(jnp.concatenate(diag_parts), 1e-10, None)
     reg = (1.0 - imp_s) / imp_s * diag
     a0 = sum(Js[:, k] * qacc_smooth[k] for k in range(nv))
     active_s = jnp.stack(rows_active)
@@ -797,16 +1089,46 @@ def step_tb(tm: TileModel, qpos, qvel, ctrl):
       return jnp.where(active_s, f, 0.0)
 
     # APGD on the regularized dual (must mirror physics/solver.py:
-    # Nesterov with adaptive restart, Gershgorin step)
+    # Nesterov with adaptive restart, power-iteration step size)
     dinv = 1.0 / (diag + reg)
     f0 = project((aref_s - a0) * dinv)
     b_vec = a0 - aref_s
-    row_sum = jnp.sum(jnp.abs(amat), axis=1) + reg  # (nrow, *b)
-    step = 1.0 / jnp.maximum(
-        jnp.max(jnp.where(active_s, row_sum, 0.0), axis=0), 1e-8)  # (*b,)
+
+    if dense_amat:
+      def amul(v):  # A v  (nrow, *b)
+        return jnp.sum(amat * v[None], axis=1)
+    else:
+      def amul(v):
+        # J M⁻¹ Jᵀ v: contractions in 8-row slabs — a whole-stack
+        # Js * v product would transiently materialize another Js-sized
+        # (nrow, nv, *b) tensor and blow the Mosaic stack; slabs keep the
+        # transient at (8, nv, *b) while the graph stays ~O(nrow/8) ops
+        jtv = None  # (nv, *b)
+        for r0 in range(0, nrow, 8):
+          # NB: v[a:b, None] in one index tuple lowers to a gather (>2D
+          # gathers are unimplemented in Mosaic); slice, THEN newaxis
+          part = jnp.sum(Js[r0:r0 + 8] * v[r0:r0 + 8][:, None], axis=0)
+          jtv = part if jtv is None else jtv + part
+        minv = jnp.stack(solve_vk([jtv[k] for k in range(nv)]))
+        outs = []
+        for r0 in range(0, nrow, 8):
+          outs.append(jnp.sum(Js[r0:r0 + 8] * minv[None], axis=1))
+        return jnp.concatenate(outs)  # (nrow, *b)
+
+    def opmul(v):  # (A + R) v on the active rows (solver.py opmul)
+      v = jnp.where(active_s, v, 0.0)
+      return jnp.where(active_s, amul(v) + reg * v, 0.0)
+
+    v_p = jnp.where(active_s, jnp.ones_like(f0), 0.0)
+    for _ in range(8):  # solver._POWER_ITERS
+      w_p = opmul(v_p)
+      v_p = w_p / jnp.maximum(
+          jnp.sqrt(jnp.sum(w_p * w_p, axis=0)), 1e-30)
+    lam = jnp.sum(v_p * opmul(v_p), axis=0)
+    step = 1.0 / jnp.maximum(1.25 * lam, 1e-8)  # (*b,)
 
     def grad(f):
-      return jnp.sum(amat * f[None], axis=1) + reg * f + b_vec
+      return amul(f) + reg * f + b_vec
 
     def apgd_body(_, carry):
       f, y, t = carry
@@ -829,7 +1151,33 @@ def step_tb(tm: TileModel, qpos, qvel, ctrl):
   qacc = _chol_solve_tb(
       L, [qfrc_smooth[k] + qfrc_constraint[k] for k in range(nv)], nv)
   qvel2 = jnp.stack([qvel[k] + h * qacc[k] for k in range(nv)])
-  qpos2 = qpos + h * qvel2  # scalar joints only
+  if tm.nq == nv and all(jt in (JointType.HINGE, JointType.SLIDE)
+                         for jt in tm.jnt_type):
+    qpos2 = qpos + h * qvel2  # scalar joints, dense addressing
+  else:  # step.integrate_pos semantics: exact quaternion exponential
+    out_q = [None] * tm.nq
+    for j in range(tm.njnt):
+      qadr, vadr = tm.jnt_qposadr[j], tm.jnt_dofadr[j]
+      jt = tm.jnt_type[j]
+      if jt == JointType.FREE:
+        for i in range(3):
+          out_q[qadr + i] = qpos[qadr + i] + h * qvel2[vadr + i]
+        quat = _quat_integrate(
+            jnp.stack([qpos[qadr + 3], qpos[qadr + 4],
+                       qpos[qadr + 5], qpos[qadr + 6]]),
+            qvel2[vadr + 3], qvel2[vadr + 4], qvel2[vadr + 5], h)
+        for i in range(4):
+          out_q[qadr + 3 + i] = quat[i]
+      elif jt == JointType.BALL:
+        quat = _quat_integrate(
+            jnp.stack([qpos[qadr], qpos[qadr + 1],
+                       qpos[qadr + 2], qpos[qadr + 3]]),
+            qvel2[vadr], qvel2[vadr + 1], qvel2[vadr + 2], h)
+        for i in range(4):
+          out_q[qadr + i] = quat[i]
+      else:
+        out_q[qadr] = qpos[qadr] + h * qvel2[vadr]
+    qpos2 = jnp.stack(out_q)
 
   # site frames for residuals
   site_xpos = []
@@ -838,12 +1186,27 @@ def step_tb(tm: TileModel, qpos, qvel, ctrl):
     site_xpos.append(xpos[bs] + _quat_rot(xquat[bs],
                                            one_c(tm.site_pos[s])))
 
+  # subtree CoM (nbody, 3, *b): comp_mc/comp_m are already the subtree
+  # mass-weighted sums (CRB backward accumulation); body 0 = whole system
+  root_mc = comp_mc[0]
+  root_m = comp_m[0]
+  for bd in range(1, nbody):
+    if tm.body_parentid[bd] == 0:
+      root_mc = root_mc + comp_mc[bd]
+      root_m = root_m + comp_m[bd]
+  sub_com = [root_mc / max(root_m, 1e-12)] + [
+      comp_mc[bd] / max(comp_m[bd], 1e-12) for bd in range(1, nbody)]
+
   view = SimpleNamespace(
       qpos=qpos2, qvel=qvel2, ctrl=ctrl,
       qacc=jnp.stack(qacc),
       xpos=jnp.stack(xpos),  # NOTE: pre-step frames (cost one stage apart,
       xquat=jnp.stack(xquat),  # same convention as ops/rollout docstring)
       xmat=jnp.stack(xmat),
+      xipos=jnp.stack(xipos),
+      cvel=jnp.stack([jnp.concatenate([va, vl], axis=0)
+                      for va, vl in cvel]),  # (nbody, 6, *b), pre-step
+      subtree_com=jnp.stack(sub_com),
       site_xpos=(jnp.stack(site_xpos) if site_xpos
                  else jnp.zeros((0, 3) + b, dtype=dtype)),  # unused if empty
   )

@@ -18,6 +18,10 @@ from mujoco_mpc_tpu.tasks import base, registry
 
 
 def residual(model, data, params):
+  """Batch-trailing polymorphic: `data` is either a Data (per-sample) or
+  the tilestep view whose fields carry trailing candidate-batch dims, so
+  the same residual runs on the general path and inside the megakernel.
+  Reductions/crosses are axis-0 over the leading component axis."""
   dtype = data.qpos.dtype
   height_goal, speed_goal = params[0], params[1]
   balance_time = params[2]
@@ -26,6 +30,9 @@ def residual(model, data, params):
   waist = model.body("waist")
   rfoot = model.body("right_foot")
   lfoot = model.body("left_foot")
+
+  def norm0(x):
+    return jnp.sqrt(jnp.sum(x * x, axis=0))
 
   # ----- torso height (walk.cc:48-50) -----
   torso_h = data.xpos[torso, 2]
@@ -45,19 +52,20 @@ def residual(model, data, params):
   subcomvel = psensors.subtree_linvel(model, data, torso)
   capture = subcom[:2] + balance_time * subcomvel[:2]
   axis = (foot_r - foot_l)[:2]
-  length = 0.5 * jnp.linalg.norm(axis) - 0.05
-  axis = axis / jnp.maximum(jnp.linalg.norm(axis), 1e-9)
+  length = 0.5 * norm0(axis) - 0.05
+  axis = axis / jnp.maximum(norm0(axis), 1e-9)
   center = 0.5 * (foot_r + foot_l)[:2]
-  t = jnp.clip(jnp.dot(capture - center, axis), -length, length)
+  t = jnp.clip(jnp.sum((capture - center) * axis, axis=0), -length, length)
   pcp = center + t * axis
   balance = standing * (capture - pcp)
 
   # ----- upright (walk.cc:102-122) -----
   up_torso = data.xmat[torso, 2, 2] - 1.0
   up_pelvis = 0.3 * (data.xmat[pelvis, 2, 2] - 1.0)
-  z_ref = jnp.asarray([0.0, 0.0, 1.0], dtype=dtype)
-  up_rfoot = 0.1 * standing * (data.xmat[rfoot, :, 2] - z_ref)
-  up_lfoot = 0.1 * standing * (data.xmat[lfoot, :, 2] - z_ref)
+  zr = data.xmat[rfoot, :, 2]
+  zl = data.xmat[lfoot, :, 2]
+  up_rfoot = 0.1 * standing * jnp.stack([zr[0], zr[1], zr[2] - 1.0])
+  up_lfoot = 0.1 * standing * jnp.stack([zl[0], zl[1], zl[2] - 1.0])
   upright = jnp.concatenate([up_torso[None], up_pelvis[None],
                              up_rfoot, up_lfoot])
 
@@ -67,24 +75,30 @@ def residual(model, data, params):
   # ----- walk forward (walk.cc:128-151) -----
   fwd = (data.xmat[torso, :2, 0] + data.xmat[pelvis, :2, 0] +
          data.xmat[rfoot, :2, 0] + data.xmat[lfoot, :2, 0])
-  fwd = fwd / jnp.maximum(jnp.linalg.norm(fwd), 1e-9)
+  fwd = fwd / jnp.maximum(norm0(fwd), 1e-9)
   waist_vel = psensors.subtree_linvel(model, data, waist)[:2]
   torso_vel = (data.cvel[torso][3:] +
-               jnp.cross(data.cvel[torso][:3], data.xipos[torso]))[:2]
+               psensors.cross0(data.cvel[torso][:3],
+                               data.xipos[torso]))[:2]
   com_vel = 0.5 * (waist_vel + torso_vel)
-  walk = standing * (jnp.dot(com_vel, fwd) - speed_goal)
+  walk = standing * (jnp.sum(com_vel * fwd, axis=0) - speed_goal)
 
   # ----- move feet (walk.cc:153-163) -----
   rfoot_vel = (data.cvel[rfoot][3:] +
-               jnp.cross(data.cvel[rfoot][:3], data.xipos[rfoot]))[:2]
+               psensors.cross0(data.cvel[rfoot][:3],
+                               data.xipos[rfoot]))[:2]
   lfoot_vel = (data.cvel[lfoot][3:] +
-               jnp.cross(data.cvel[lfoot][:3], data.xipos[lfoot]))[:2]
+               psensors.cross0(data.cvel[lfoot][:3],
+                               data.xipos[lfoot]))[:2]
   move_feet = standing * (com_vel - 0.5 * rfoot_vel - 0.5 * lfoot_vel)
 
   # ----- control (walk.cc:165-167; position-actuated here, so relative
-  # to the home pose instead of raw torques) -----
-  home_ctrl = jnp.asarray(model.keyframe("home")[2], dtype=dtype)
-  control = data.ctrl - home_ctrl
+  # to the home pose instead of raw torques). Per-element scalar constants:
+  # Pallas rejects captured array constants, scalars are inlined -----
+  import numpy as np
+  home_ctrl = np.asarray(model.keyframe("home")[2], dtype=np.float32)
+  control = jnp.stack([data.ctrl[i] - float(home_ctrl[i])
+                       for i in range(int(model.nu))])
 
   return jnp.concatenate([
       height[None], pelvis_feet[None], balance, upright, posture,

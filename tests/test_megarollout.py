@@ -68,11 +68,61 @@ def test_pallas_kernel_matches_tile_path():
 
 
 def test_unsupported_models_fall_back():
-  """Free-joint models are outside the supported class → try_build None."""
-  task = registry.get_task("Quadrotor")  # free joint
+  """Out-of-class models (site-transmission actuators here) → None."""
+  task = registry.get_task("Quadrotor")  # free joint + SITE actuators
   assert MR.try_build(task, 8) is None
   with pytest.raises(tilestep.UnsupportedModel):
     tilestep.extract(task.model)
+
+
+def _humanoid_setup(T=12, n=8):
+  task = registry.get_task("Humanoid Walk")
+  m = task.model
+  data = phys_io.make_data(m)
+  qpos, _, _ = m.keyframe("home")
+  data = data.replace(qpos=jnp.asarray(qpos, dtype=data.qpos.dtype))
+  actions = 0.2 * jax.random.normal(
+      jax.random.PRNGKey(0), (n, T, m.nu), dtype=jnp.float32)
+  return task, data, actions
+
+
+def test_tilestep_free_joint_single_step_matches_general():
+  """Free-joint (quaternion) humanoid: one tile step == one general step
+  across randomly perturbed states (FK/cdof/CRB/RNE/contact/integration)."""
+  from mujoco_mpc_tpu.physics.step import step as phys_step
+  task = registry.get_task("Humanoid Walk")
+  m = task.model
+  tm = tilestep.extract(m)
+  data = phys_io.make_data(m)
+  qpos_h, _, _ = m.keyframe("home")
+  rng = np.random.RandomState(1)
+  B = 8
+  qps = np.stack([np.asarray(qpos_h, np.float32) +
+                  rng.uniform(-0.05, 0.05, m.nq).astype(np.float32)
+                  for _ in range(B)])
+  qvs = rng.uniform(-0.5, 0.5, (B, m.nv)).astype(np.float32)
+  cts = rng.uniform(-0.5, 0.5, (B, m.nu)).astype(np.float32)
+
+  def gen_step(qp, qv, ct):
+    d2 = phys_step(m, data.replace(qpos=qp, qvel=qv, ctrl=ct))
+    return d2.qpos, d2.qvel
+
+  gq, gv = jax.jit(jax.vmap(gen_step))(qps, qvs, cts)
+  stb = jax.jit(lambda q, v, c: tilestep.step_tb(tm, q, v, c)[:2])
+  tq, tv = stb(jnp.asarray(qps.T), jnp.asarray(qvs.T), jnp.asarray(cts.T))
+  np.testing.assert_allclose(np.asarray(gq), np.asarray(tq).T, atol=2e-5)
+  np.testing.assert_allclose(np.asarray(gv), np.asarray(tv).T, atol=2e-4)
+
+
+def test_humanoid_megakernel_matches_general_path():
+  """Contact-rich free-joint humanoid (plane-box + box-box + subtree-CoM
+  residual terms): tile rollout == general rollout."""
+  task, data, actions = _humanoid_setup(T=12)
+  mr = MR.MegaRollout(task, 12)
+  ref = _general_returns(task, data, actions, 12)
+  got = jax.jit(mr.returns_xla)(data.qpos, data.qvel, actions,
+                                task.params, data.time)
+  np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-3)
 
 
 def test_divergence_guard():
