@@ -70,11 +70,13 @@ def _norm_value_t(x, norm: norms.NormType, p, q):
   raise ValueError(f"unknown norm {norm}")
 
 
-def cost_value_t(spec: CostSpec, weights, norm_params, risk, res):
+def cost_value_t(spec: CostSpec, weights, norm_params, risk, res,
+                 scale=None):
   """Tile analogue of tasks.base.cost_value; res (nres, *b).
 
   weights (nterm,1,1), norm_params (nterm,2,1,1)-like, risk (1,1): shaped
-  so scalar slices broadcast against (*b) tiles.
+  so scalar slices broadcast against (*b) tiles. `scale` is the optional
+  state-dependent (nterm,)-leading multiplier from Task.weight_mod.
   """
   total = None
   shift = 0
@@ -83,6 +85,8 @@ def cost_value_t(spec: CostSpec, weights, norm_params, risk, res):
     val = _norm_value_t(block, spec.norm_types[k],
                         norm_params[k, 0], norm_params[k, 1])
     term = weights[k] * val
+    if scale is not None:
+      term = term * scale[k]
     total = term if total is None else total + term
     shift += spec.dims[k]
   risky = (jnp.exp(risk * total) - 1.0) / jnp.where(
@@ -96,11 +100,14 @@ def cost_value_t(spec: CostSpec, weights, norm_params, risk, res):
 
 
 def _rollout_body(tm, task, horizon, qpos0, qvel0, action_fn, b, dtype,
-                  weights, norm_params, risk, res_params, t0):
+                  weights, norm_params, risk, res_params, t0,
+                  mocap_pos=None, mocap_quat=None, userdata=None):
   """Full rollout in tile layout.
 
   action_fn(i) -> (nu, *b) controls for step i (a dynamic ref read inside
   the Pallas kernel; a dynamic_index_in_dim on the XLA path).
+  mocap_pos/mocap_quat (nmocap, 3/4)-leading and userdata
+  (nuserdata,)-leading are rollout-constant (broadcastable over *b).
   Returns mean per-step cost (*b) with nan→MAX_RETURN divergence guard.
   """
   def bcast(x, lead):
@@ -120,10 +127,14 @@ def _rollout_body(tm, task, horizon, qpos0, qvel0, action_fn, b, dtype,
   def body(i, carry):
     qpos, qvel, total = carry
     u = action_fn(i)
-    qpos, qvel, view = tilestep.step_tb(tm, qpos, qvel, u)
+    qpos, qvel, view = tilestep.step_tb(
+        tm, qpos, qvel, u, mocap_pos=mocap_pos, mocap_quat=mocap_quat,
+        userdata=userdata)
     view.time = t0 + (i + 1) * tm.timestep
     res = task.residual(task.model, view, res_params)
-    c = cost_value_t(task.spec, weights, norm_params, risk, res)
+    scale = (task.weight_mod(task.model, view, res_params)
+             if task.weight_mod is not None else None)
+    c = cost_value_t(task.spec, weights, norm_params, risk, res, scale)
     return qpos, qvel, total + c
 
   _, _, total = jax.lax.fori_loop(0, horizon, body, (qpos, qvel, total0))
@@ -155,11 +166,13 @@ class MegaRollout:
     self.block = block or self._pick_block(horizon)
     self.interpret = interpret
     # probe: residual + cost must trace in tile layout
+    nmc, nud = max(self.tm.nmocap, 1), max(self.tm.nuserdata, 1)
     jax.eval_shape(
-        lambda q, v, a, w, npar, r, rp, t: _rollout_body(
+        lambda q, v, a, w, npar, r, rp, t, mp, mq, ud: _rollout_body(
             self.tm, task, 2, q, v,
             lambda i: jax.lax.dynamic_index_in_dim(a, i, 0, False),
-            a.shape[2:], a.dtype, w, npar, r, rp, t),
+            a.shape[2:], a.dtype, w, npar, r, rp, t,
+            mocap_pos=mp, mocap_quat=mq, userdata=ud),
         jax.ShapeDtypeStruct((self.tm.nq,), jnp.float32),
         jax.ShapeDtypeStruct((self.tm.nv,), jnp.float32),
         jax.ShapeDtypeStruct((2, self.tm.nu, 4, 128), jnp.float32),
@@ -168,6 +181,9 @@ class MegaRollout:
         jax.ShapeDtypeStruct((1, 1), jnp.float32),
         jax.ShapeDtypeStruct((len(task.param_names), 1, 1), jnp.float32),
         jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        jax.ShapeDtypeStruct((nmc, 3, 1, 1), jnp.float32),
+        jax.ShapeDtypeStruct((nmc, 4, 1, 1), jnp.float32),
+        jax.ShapeDtypeStruct((nud, 1, 1), jnp.float32),
     )
 
   def _pick_block(self, horizon: int) -> int:
@@ -183,14 +199,18 @@ class MegaRollout:
     """
     tm = self.tm
     dense = tilestep.amat_is_dense(tm.nrow)
-    tiles = (tm.nrow * tm.nv                      # Js
+    # peak ≈ solver phase: J blocks (built progressively, no 2x at a
+    # stacking moment) + amat/X on the dense path + APGD vectors + the
+    # Cholesky factor + transient scratch. The view/residual phase after
+    # the solve is strictly smaller (solver arrays are dead by then).
+    tiles = (tm.nrow * tm.nv                      # J blocks
              + (tm.nrow ** 2 + tm.nrow * tm.nv    # amat + X (dense)
-                if dense else 10 * tm.nv)         # chunk scratch (freed)
-             + 8 * tm.nrow                        # APGD vectors
-             + 2 * tm.nv * tm.nv                  # qM + Cholesky factor
-             + 30 * tm.nbody + 300)               # kinematics live set
+                if dense else 10 * tm.nv)         # block scratch (freed)
+             + 6 * tm.nrow                        # APGD vectors
+             + tm.nv * tm.nv                      # Cholesky factor
+             + 20 * tm.nbody + 300)               # kinematics live set
     fixed = tiles * 4096
-    budget = 15 * 1024 * 1024
+    budget = 14 * 1024 * 1024
     act_bytes = 4 * horizon * tm.nu * 1024
     self.acts_hbm = fixed + act_bytes > budget
     if fixed > budget:
@@ -198,8 +218,32 @@ class MegaRollout:
           f"constraint working set ~{fixed >> 20} MB exceeds VMEM")
     return 1024
 
+  def _aux_operands(self, mocap_pos, mocap_quat, userdata, nb):
+    """Mocap/userdata operands shaped (lead...,) + (1,)*nb, never empty."""
+    tm = self.tm
+    f32 = jnp.float32
+    nmc, nud = max(tm.nmocap, 1), max(tm.nuserdata, 1)
+    one = (1,) * nb
+
+    def none_if_empty(x):
+      return None if x is None or jnp.asarray(x).size == 0 else x
+
+    mocap_pos = none_if_empty(mocap_pos)
+    mocap_quat = none_if_empty(mocap_quat)
+    userdata = none_if_empty(userdata)
+    mp = (jnp.zeros((nmc, 3), f32) if mocap_pos is None
+          else jnp.asarray(mocap_pos, f32).reshape(nmc, 3))
+    default_q = jnp.tile(jnp.asarray([1.0, 0, 0, 0], f32), (nmc, 1))
+    mq = (default_q if mocap_quat is None
+          else jnp.asarray(mocap_quat, f32).reshape(nmc, 4))
+    ud = (jnp.zeros((nud,), f32) if userdata is None
+          else jnp.asarray(userdata, f32).reshape(nud))
+    return (mp.reshape((nmc, 3) + one), mq.reshape((nmc, 4) + one),
+            ud.reshape((nud,) + one))
+
   # ------------------------------------------------------------------ pallas
-  def returns(self, qpos0, qvel0, actions, params: TaskParams, t0):
+  def returns(self, qpos0, qvel0, actions, params: TaskParams, t0,
+              mocap_pos=None, mocap_quat=None, userdata=None):
     """Candidate returns (N,) for actions (N, T, nu); qpos0/qvel0 (nq,/nv,).
 
     N must be a multiple of 128. One grid program per `block` candidates.
@@ -235,10 +279,11 @@ class MegaRollout:
     t0a = jnp.asarray(t0, f32).reshape(1, 1)
     qp = qpos0.astype(f32).reshape(tm.nq, 1)
     qv = qvel0.astype(f32).reshape(max(tm.nv, 1), 1)
+    mp, mq, ud = self._aux_operands(mocap_pos, mocap_quat, userdata, 2)
     acts_hbm = self.acts_hbm and not self.interpret
 
     def kernel(qp_ref, qv_ref, act_ref, w_ref, npar_ref, risk_ref, rp_ref,
-               t0_ref, out_ref, *scratch):
+               t0_ref, mp_ref, mq_ref, ud_ref, out_ref, *scratch):
       from jax.experimental import pallas as pl  # noqa: shadows outer import
       if acts_hbm:
         act_vmem, sem = scratch
@@ -258,7 +303,8 @@ class MegaRollout:
           tm, self.task, T,
           qp_ref[:, 0], qv_ref[:, 0], action_fn, bshape, jnp.float32,
           w_ref[:], npar_ref[:], risk_ref[0, 0], rp_ref[:],
-          t0_ref[0, 0])
+          t0_ref[0, 0], mocap_pos=mp_ref[:], mocap_quat=mq_ref[:],
+          userdata=ud_ref[:])
 
     vm = pltpu.VMEM
 
@@ -289,15 +335,19 @@ class MegaRollout:
             spec((1, 1)),
             spec((nrp, 1, 1)),
             spec((1, 1)),
+            spec(mp.shape),
+            spec(mq.shape),
+            spec(ud.shape),
         ],
         out_specs=spec((1,) + bshape, blocked_first=True),
         scratch_shapes=scratch_shapes,
         interpret=self.interpret,
-    )(qp, qv, acts, w, npar, risk, rp, t0a)
+    )(qp, qv, acts, w, npar, risk, rp, t0a, mp, mq, ud)
     return out.reshape(n)
 
   # --------------------------------------------------------------- xla path
-  def returns_xla(self, qpos0, qvel0, actions, params: TaskParams, t0):
+  def returns_xla(self, qpos0, qvel0, actions, params: TaskParams, t0,
+                  mocap_pos=None, mocap_quat=None, userdata=None):
     """Same math as `returns` under plain XLA (1-D trailing batch) — used
     for correctness tests and as a CPU fallback."""
     tm, T = self.tm, self.horizon
@@ -314,9 +364,11 @@ class MegaRollout:
       rp = params.residual_params.astype(f32)
     rp = rp.reshape(nrp, 1)
     action_fn = lambda i: jax.lax.dynamic_index_in_dim(acts, i, 0, False)
+    mp, mq, ud = self._aux_operands(mocap_pos, mocap_quat, userdata, 1)
     return _rollout_body(tm, self.task, T, qpos0.astype(f32),
                          qvel0.astype(f32), action_fn, (n,), f32,
-                         w, npar, risk, rp, jnp.asarray(t0, f32))
+                         w, npar, risk, rp, jnp.asarray(t0, f32),
+                         mocap_pos=mp, mocap_quat=mq, userdata=ud)
 
 
 def try_build(task: Task, horizon: int, **kw) -> Optional[MegaRollout]:

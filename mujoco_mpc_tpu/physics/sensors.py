@@ -65,16 +65,22 @@ def subtree_linvel(m: Model, d: Data, body: int) -> jax.Array:
 
 def subtree_angmom(m: Model, d: Data, body: int) -> jax.Array:
   """Angular momentum about the subtree CoM (mjSENS_SUBTREEANGMOM):
-  h = Σ_b R_b diag(I_b) R_bᵀ ω_b + m_b (x_b − com) × v_b."""
+  h = Σ_b R_b diag(I_b) R_bᵀ ω_b + m_b (x_b − com) × v_b.
+
+  Batch-trailing polymorphic (explicit component sums, no matmul/.T)."""
   com = d.subtree_com[body]
-  val = jnp.zeros(3, dtype=d.qpos.dtype)
+  val = None
   for b in _descendants(m, body):
     omega = d.cvel[b][:3]
     vcom = _point_vel(d, b, d.xipos[b])
-    rot = d.ximat[b]
-    spin = rot @ (m.body_inertia[b] * (rot.T @ omega))
-    orbit = m.body_mass[b] * jnp.cross(d.xipos[b] - com, vcom)
-    val = val + spin + orbit
+    rot = d.ximat[b]  # (3, 3, *b)
+    loc = [sum(rot[k, i] * omega[k] for k in range(3)) for i in range(3)]
+    iloc = [_pyscalar(m.body_inertia[b][i]) * loc[i] for i in range(3)]
+    spin = jnp.stack([sum(rot[i, j] * iloc[j] for j in range(3))
+                      for i in range(3)])
+    orbit = _pyscalar(m.body_mass[b]) * cross0(d.xipos[b] - com, vcom)
+    term = spin + orbit
+    val = term if val is None else val + term
   return val
 
 

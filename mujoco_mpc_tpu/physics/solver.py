@@ -226,22 +226,29 @@ def solve(m: Model, d: Data, qacc_smooth: jax.Array,
   # non-monotone steps.
   b_vec = a0 - aref
 
-  def opmul(v):
-    """(A + R) v restricted to active rows (inactive f is pinned at 0)."""
-    v = jnp.where(active, v, 0.0)
-    return jnp.where(active, amat @ v + reg * v, 0.0)
+  # Step size = 1/λmax(A+R). Rule matches the tile megakernel per model
+  # (physics/tilestep.py) so general and tile paths share one iterate
+  # sequence: Gershgorin row sums when the tile path materializes A
+  # (cheap there), power iteration when the tile path is matrix-free
+  # (row sums of |A| would need A). The 1.25 factor covers the Rayleigh
+  # quotient's underestimate; Nesterov restart absorbs the rest.
+  from mujoco_mpc_tpu.physics.tilestep import amat_is_dense
+  if amat_is_dense(nrow):
+    row_sum = jnp.sum(jnp.abs(amat), axis=-1) + reg
+    step = 1.0 / jnp.maximum(
+        jnp.max(jnp.where(active, row_sum, 0.0)), 1e-8)
+  else:
+    def opmul(v):
+      """(A + R) v restricted to active rows (inactive f pinned at 0)."""
+      v = jnp.where(active, v, 0.0)
+      return jnp.where(active, amat @ v + reg * v, 0.0)
 
-  # step = 1/λmax(A+R) via power iteration (deterministic start). The
-  # Gershgorin row-sum bound needs |A| materialized — this form has a
-  # matrix-free analog used by the tile megakernel (physics/tilestep.py),
-  # so both paths share one iterate sequence. The 1.25 factor covers the
-  # Rayleigh quotient's underestimate; Nesterov restart absorbs the rest.
-  v = jnp.where(active, 1.0, 0.0).astype(dtype)
-  for _ in range(_POWER_ITERS):
-    w = opmul(v)
-    v = w / jnp.maximum(jnp.sqrt(jnp.sum(w * w)), 1e-30)
-  lam = jnp.sum(v * opmul(v))
-  step = 1.0 / jnp.maximum(1.25 * lam, 1e-8)
+    v = jnp.where(active, 1.0, 0.0).astype(dtype)
+    for _ in range(_POWER_ITERS):
+      w = opmul(v)
+      v = w / jnp.maximum(jnp.sqrt(jnp.sum(w * w)), 1e-30)
+    lam = jnp.sum(v * opmul(v))
+    step = 1.0 / jnp.maximum(1.25 * lam, 1e-8)
 
   def grad(f):
     return amat @ f + reg * f + b_vec

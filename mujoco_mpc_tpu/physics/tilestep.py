@@ -110,6 +110,9 @@ class TileModel:
   dof_ancestor_mask: np.ndarray  # (nv, nv)
   cdofdot_vel_mask: np.ndarray  # (nv, nv): dofs whose vel rotates cdof[k]
   dof_body: tuple  # (nv,) body id of every dof
+  body_mocapid: tuple  # (nbody,) -1 or mocap index (pose = kernel operand)
+  nmocap: int
+  nuserdata: int
   # actuators (scalar joint transmission)
   act_vadr: np.ndarray  # (nu,) dof index
   act_qadr: np.ndarray  # (nu,)
@@ -169,8 +172,16 @@ def extract(m: Model) -> TileModel:
       raise UnsupportedModel(f"joint type {jt}")
   if m.na != 0:
     raise UnsupportedModel("stateful actuators")
-  if m.nmocap != 0 and any(mid >= 0 for mid in m.body_mocapid):
-    raise UnsupportedModel("mocap bodies")
+  # mocap bodies: allowed as rollout-constant poses (kernel operands) —
+  # markers/goals only; they may not collide or carry joints
+  mocap_bodies = {b for b in range(m.nbody) if m.body_mocapid[b] >= 0}
+  for b in mocap_bodies:
+    if m.body_jntnum[b]:
+      raise UnsupportedModel("jointed mocap body")
+  for g1, g2 in m.collision_pairs:
+    if (m.geom_bodyid[g1] in mocap_bodies or
+        m.geom_bodyid[g2] in mocap_bodies):
+      raise UnsupportedModel("colliding mocap geom")
   if m.opt.has_fluid:
     raise UnsupportedModel("fluid forces")
   if m.has_spring or m.has_frictionloss:
@@ -300,6 +311,9 @@ def extract(m: Model) -> TileModel:
       dof_ancestor_mask=npy(m.dof_ancestor_mask),
       cdofdot_vel_mask=npy(m.cdofdot_vel_mask),
       dof_body=tuple(dof_body),
+      body_mocapid=tuple(int(x) for x in m.body_mocapid),
+      nmocap=int(m.nmocap),
+      nuserdata=int(getattr(m, "nuserdata", 0) or 16),
       act_vadr=np.asarray([m.jnt_dofadr[m.actuator_trnid[u]]
                            for u in range(m.nu)], np.int32),
       act_qadr=np.asarray([m.jnt_qposadr[m.actuator_trnid[u]]
@@ -495,15 +509,22 @@ def _kb(solref: np.ndarray, dmax: float) -> Tuple[float, float]:
 # ---------------------------------------------------------------------------
 
 
-def step_tb(tm: TileModel, qpos, qvel, ctrl):
+def step_tb(tm: TileModel, qpos, qvel, ctrl, mocap_pos=None,
+            mocap_quat=None, userdata=None):
   """One physics step in tile layout.
 
   Args:
     qpos: (nq, *b); qvel: (nv, *b); ctrl: (nu, *b).
+    mocap_pos/mocap_quat: rollout-constant mocap poses, shaped
+      (nmocap, 3/4) + (1,)*len(b) so slices broadcast against tiles.
+    userdata: (nuserdata,) + (1,)*len(b) — task FSM state (read-only
+      inside rollouts; transitions run in the agent loop).
   Returns:
     (qpos2, qvel2, view) with view a SimpleNamespace carrying the derived
-    quantities task residuals read (xpos, xmat, xquat, site_xpos, qpos,
-    qvel, ctrl — component-leading, batch-trailing).
+    quantities task residuals read (xpos, xmat, xquat, site_xpos,
+    geom_xpos, cvel, xipos, ximat, subtree_com, actuator_force,
+    mocap_pos, userdata, qpos, qvel, ctrl — component-leading,
+    batch-trailing).
   """
   nv, nbody = tm.nv, tm.nbody
   h = tm.timestep
@@ -523,6 +544,10 @@ def step_tb(tm: TileModel, qpos, qvel, ctrl):
     p = tm.body_parentid[bd]
     quat = _quat_mul(xquat[p], one_c(tm.body_quat[bd]))
     pos = xpos[p] + _quat_rot(xquat[p], one_c(tm.body_pos[bd]))
+    mid = tm.body_mocapid[bd]
+    if mid >= 0:  # kinematics.py: mocap pose overrides (rollout-constant)
+      pos = jnp.stack([zero + mocap_pos[mid, i] for i in range(3)])
+      quat = jnp.stack([zero + mocap_quat[mid, i] for i in range(4)])
     jadr, jnum = tm.body_jntadr[bd], tm.body_jntnum[bd]
     for j in range(jadr, jadr + jnum):
       qadr = tm.jnt_qposadr[j]
@@ -716,6 +741,7 @@ def step_tb(tm: TileModel, qpos, qvel, ctrl):
   # ---- passive + actuation
   qfrc_passive = [-float(tm.dof_damping[k]) * qvel[k] for k in range(nv)]
   qfrc_act = [zero for _ in range(nv)]
+  act_forces = []  # (nu) tiles for view.actuator_force
   for u in range(tm.nu):
     c = ctrl[u]
     if tm.ctrl_limited[u]:
@@ -736,6 +762,7 @@ def step_tb(tm: TileModel, qpos, qvel, ctrl):
     force = gain * c + bias
     if tm.force_limited[u]:
       force = jnp.clip(force, float(tm.force_lo[u]), float(tm.force_hi[u]))
+    act_forces.append(force)
     k = int(tm.act_vadr[u])
     qfrc_act[k] = qfrc_act[k] + gear * force
 
@@ -1023,16 +1050,35 @@ def step_tb(tm: TileModel, qpos, qvel, ctrl):
         rows_k.append(kk)
         rows_b.append(bb)
 
-    # stacked constraint algebra: Js (nrow, nv, *b). The per-scalar style
+    # stacked constraint algebra in 8-ROW BLOCKS: the per-scalar style
     # used above is latency-bound on TPU (single-tile dependency chains);
-    # from here on every op carries the whole (nrow, nv) payload.
-    Js = jnp.stack([
-        jnp.stack([rows_J[r_i][k] if rows_J[r_i][k] is not None else zero
-                   for k in range(nv)])
-        for r_i in range(nrow)])  # (nrow, nv, *b)
+    # from here on every op carries an (8, nv) payload. Blocks rather
+    # than one (nrow, nv, *b) stack: a single stack doubles the Jacobian
+    # footprint at the stacking moment (inputs + output both live), which
+    # is what bounds VMEM for contact-rich models.
+    Jb = []
+    for r0 in range(0, nrow, 8):
+      Jb.append(jnp.stack([
+          jnp.stack([rows_J[r_i][k] if rows_J[r_i][k] is not None else zero
+                     for k in range(nv)])
+          for r_i in range(r0, min(r0 + 8, nrow))]))  # (≤8, nv, *b)
+
+    def jmat_vec(vk_stack):
+      """J v for a (nv, *b) stacked vector → (nrow, *b)."""
+      return jnp.concatenate(
+          [jnp.sum(B * vk_stack[None], axis=1) for B in Jb])
+
+    def jmat_t_vec(v):
+      """Jᵀ v for a (nrow, *b) vector → (nv, *b)."""
+      out = None
+      for bi, B in enumerate(Jb):
+        seg = v[8 * bi:8 * bi + B.shape[0]]
+        part = jnp.sum(B * seg[:, None], axis=0)
+        out = part if out is None else out + part
+      return out
 
     # aref = −imp (k · pos_term + b · J q̇); per-row k/b are python floats
-    vel_r = sum(Js[:, k] * qvel[k] for k in range(nv))  # (nrow, *b)
+    vel_r = jmat_vec(qvel)  # (nrow, *b)
     kpos = jnp.stack([rows_k[r_i] * rows_pos[r_i] for r_i in range(nrow)])
     b_r = jnp.stack([rows_b[r_i] * vel_r[r_i] for r_i in range(nrow)])
     imp_s = jnp.stack(rows_imp)
@@ -1053,21 +1099,21 @@ def step_tb(tm: TileModel, qpos, qvel, ctrl):
 
     if dense_amat:
       # X = M⁻¹ Jᵀ via one multi-RHS masked-unrolled solve (payload=rows)
+      Js = jnp.concatenate(Jb)  # (nrow, nv, *b) — small models only
       X = solve_vk([Js[:, k] for k in range(nv)])  # nv × (nrow, *b)
       amat = sum(Js[:, k][:, None] * X[k][None, :] for k in range(nv))
       diag = jnp.clip(jnp.stack([amat[r_i, r_i] for r_i in range(nrow)]),
                       1e-10, None)
     else:
-      # chunked diag: diag[r] = J_r · M⁻¹ J_rᵀ, 8 rows at a time (the
-      # full X would be as large as Js again)
+      # chunked diag: diag[r] = J_r · M⁻¹ J_rᵀ, one block at a time (the
+      # full X would be as large as the Jacobian again)
       diag_parts = []
-      for r0 in range(0, nrow, 8):
-        r1 = min(r0 + 8, nrow)
-        Xc = solve_vk([Js[r0:r1, k] for k in range(nv)])
-        diag_parts.append(sum(Js[r0:r1, k] * Xc[k] for k in range(nv)))
+      for B in Jb:
+        Xc = solve_vk([B[:, k] for k in range(nv)])
+        diag_parts.append(sum(B[:, k] * Xc[k] for k in range(nv)))
       diag = jnp.clip(jnp.concatenate(diag_parts), 1e-10, None)
     reg = (1.0 - imp_s) / imp_s * diag
-    a0 = sum(Js[:, k] * qacc_smooth[k] for k in range(nv))
+    a0 = jmat_vec(jnp.stack(qacc_smooth))
     active_s = jnp.stack(rows_active)
     mu = np.asarray([cp.mu for cp in tm.con_points], dtype=np.float32)
 
@@ -1089,7 +1135,8 @@ def step_tb(tm: TileModel, qpos, qvel, ctrl):
       return jnp.where(active_s, f, 0.0)
 
     # APGD on the regularized dual (must mirror physics/solver.py:
-    # Nesterov with adaptive restart, power-iteration step size)
+    # Nesterov with adaptive restart; step rule matches solver.py per
+    # model — Gershgorin on the dense path, power iteration matrix-free)
     dinv = 1.0 / (diag + reg)
     f0 = project((aref_s - a0) * dinv)
     b_vec = a0 - aref_s
@@ -1099,33 +1146,28 @@ def step_tb(tm: TileModel, qpos, qvel, ctrl):
         return jnp.sum(amat * v[None], axis=1)
     else:
       def amul(v):
-        # J M⁻¹ Jᵀ v: contractions in 8-row slabs — a whole-stack
-        # Js * v product would transiently materialize another Js-sized
-        # (nrow, nv, *b) tensor and blow the Mosaic stack; slabs keep the
-        # transient at (8, nv, *b) while the graph stays ~O(nrow/8) ops
-        jtv = None  # (nv, *b)
-        for r0 in range(0, nrow, 8):
-          # NB: v[a:b, None] in one index tuple lowers to a gather (>2D
-          # gathers are unimplemented in Mosaic); slice, THEN newaxis
-          part = jnp.sum(Js[r0:r0 + 8] * v[r0:r0 + 8][:, None], axis=0)
-          jtv = part if jtv is None else jtv + part
+        # J M⁻¹ Jᵀ v via the block contractions — the (nrow, nrow)
+        # Delassus stack never exists
+        jtv = jmat_t_vec(v)  # (nv, *b)
         minv = jnp.stack(solve_vk([jtv[k] for k in range(nv)]))
-        outs = []
-        for r0 in range(0, nrow, 8):
-          outs.append(jnp.sum(Js[r0:r0 + 8] * minv[None], axis=1))
-        return jnp.concatenate(outs)  # (nrow, *b)
+        return jmat_vec(minv)  # (nrow, *b)
 
-    def opmul(v):  # (A + R) v on the active rows (solver.py opmul)
-      v = jnp.where(active_s, v, 0.0)
-      return jnp.where(active_s, amul(v) + reg * v, 0.0)
+    if dense_amat:
+      row_sum = jnp.sum(jnp.abs(amat), axis=1) + reg  # (nrow, *b)
+      step = 1.0 / jnp.maximum(
+          jnp.max(jnp.where(active_s, row_sum, 0.0), axis=0), 1e-8)
+    else:
+      def opmul(v):  # (A + R) v on the active rows (solver.py opmul)
+        v = jnp.where(active_s, v, 0.0)
+        return jnp.where(active_s, amul(v) + reg * v, 0.0)
 
-    v_p = jnp.where(active_s, jnp.ones_like(f0), 0.0)
-    for _ in range(8):  # solver._POWER_ITERS
-      w_p = opmul(v_p)
-      v_p = w_p / jnp.maximum(
-          jnp.sqrt(jnp.sum(w_p * w_p, axis=0)), 1e-30)
-    lam = jnp.sum(v_p * opmul(v_p), axis=0)
-    step = 1.0 / jnp.maximum(1.25 * lam, 1e-8)  # (*b,)
+      v_p = jnp.where(active_s, jnp.ones_like(f0), 0.0)
+      for _ in range(8):  # solver._POWER_ITERS
+        w_p = opmul(v_p)
+        v_p = w_p / jnp.maximum(
+            jnp.sqrt(jnp.sum(w_p * w_p, axis=0)), 1e-30)
+      lam = jnp.sum(v_p * opmul(v_p), axis=0)
+      step = 1.0 / jnp.maximum(1.25 * lam, 1e-8)  # (*b,)
 
     def grad(f):
       return amul(f) + reg * f + b_vec
@@ -1144,7 +1186,7 @@ def step_tb(tm: TileModel, qpos, qvel, ctrl):
     t0s = jnp.ones(b, dtype=f0.dtype)
     f, _, _ = jax.lax.fori_loop(0, _ITERATIONS, apgd_body, (f0, f0, t0s))
 
-    qfc = jnp.sum(Js * f[:, None], axis=0)  # (nv, *b)
+    qfc = jmat_t_vec(f)  # (nv, *b)
     qfrc_constraint = [qfc[k] for k in range(nv)]
 
   # ---- integrate (semi-implicit Euler, implicit damping in the factor)
@@ -1179,12 +1221,17 @@ def step_tb(tm: TileModel, qpos, qvel, ctrl):
         out_q[qadr] = qpos[qadr] + h * qvel2[vadr]
     qpos2 = jnp.stack(out_q)
 
-  # site frames for residuals
+  # site/geom frames for residuals
   site_xpos = []
   for s in range(tm.nsite):
     bs = tm.site_bodyid[s]
     site_xpos.append(xpos[bs] + _quat_rot(xquat[bs],
                                            one_c(tm.site_pos[s])))
+  geom_xpos = []
+  for g in range(tm.ngeom):
+    bg = tm.geom_bodyid[g]
+    geom_xpos.append(xpos[bg] + _quat_rot(xquat[bg],
+                                          one_c(tm.geom_pos[g])))
 
   # subtree CoM (nbody, 3, *b): comp_mc/comp_m are already the subtree
   # mass-weighted sums (CRB backward accumulation); body 0 = whole system
@@ -1204,10 +1251,18 @@ def step_tb(tm: TileModel, qpos, qvel, ctrl):
       xquat=jnp.stack(xquat),  # same convention as ops/rollout docstring)
       xmat=jnp.stack(xmat),
       xipos=jnp.stack(xipos),
+      ximat=jnp.stack(ximat),
       cvel=jnp.stack([jnp.concatenate([va, vl], axis=0)
                       for va, vl in cvel]),  # (nbody, 6, *b), pre-step
       subtree_com=jnp.stack(sub_com),
       site_xpos=(jnp.stack(site_xpos) if site_xpos
                  else jnp.zeros((0, 3) + b, dtype=dtype)),  # unused if empty
+      geom_xpos=(jnp.stack(geom_xpos) if geom_xpos
+                 else jnp.zeros((0, 3) + b, dtype=dtype)),
+      actuator_force=(jnp.stack(act_forces) if act_forces
+                      else jnp.zeros((0,) + b, dtype=dtype)),
+      mocap_pos=mocap_pos,
+      mocap_quat=mocap_quat,
+      userdata=userdata,
   )
   return qpos2, qvel2, view

@@ -154,7 +154,9 @@ class SamplingPlanner:
           lambda v: spline.sample_many(new_times, v, ts, cfg.interp))(cands)
       returns = self._mega.returns(
           data.qpos, data.qvel, actions,
-          params if params is not None else task.params, data.time)
+          params if params is not None else task.params, data.time,
+          mocap_pos=data.mocap_pos, mocap_quat=data.mocap_quat,
+          userdata=data.userdata)
     else:
       def ret(values):
         policy_fn = lambda t, d: spline.sample(new_times, values, t,

@@ -84,6 +84,26 @@ def _get_phase(u, time):
   return u[1] + (time - u[2]) * u[3]
 
 
+def _sel_scalar(table_np, gait, col):
+  """table[gait, col] by one-hot select — a traced-index gather would be
+  a captured-constant gather inside the megakernel (batch-trailing safe:
+  the result has `gait`'s shape)."""
+  import numpy as np
+  t = np.asarray(table_np)
+  out = None
+  for g in range(t.shape[0]):
+    term = jnp.where(gait == g, float(t[g, col]), 0.0)
+    out = term if out is None else out + term
+  return out
+
+
+def _sel_row(table_np, gait):
+  """(ncol,)-leading one-hot row select of table[gait]."""
+  import numpy as np
+  t = np.asarray(table_np)
+  return jnp.stack([_sel_scalar(t, gait, c) for c in range(t.shape[1])])
+
+
 def _step_height(time, footphase, duty_ratio):
   """Normalized target step height (quadruped.cc:659-668)."""
   angle = jnp.mod(time + jnp.pi - footphase, 2 * jnp.pi) - jnp.pi
@@ -95,17 +115,19 @@ def _step_height(time, footphase, duty_ratio):
 
 def _foot_positions(model, data):
   idx = [model.geom(f) for f in _FEET]
-  return jnp.stack([data.geom_xpos[i] for i in idx])  # (4, 3)
+  return jnp.stack([data.geom_xpos[i] for i in idx])  # (4, 3, *b)
 
 
 def _ground_under(model, data, points):
-  """Terrain height under world points (N, 3) — the reference's Ground()
-  raycast (mjpc/utilities.cc). Flat models: 0; hfield models: bilinear
-  surface height of the hfield geom (static trace-time branch)."""
+  """Terrain height under world points (N, 3, *b) — the reference's
+  Ground() raycast (mjpc/utilities.cc). Flat models: 0; hfield models:
+  bilinear surface height of the hfield geom (static trace-time branch;
+  hfield pairs are outside the megakernel class, so the hfield branch
+  only ever sees per-sample (N, 3) data)."""
   hfield_geoms = [g for g, t in enumerate(model.geom_type)
                   if t == GeomType.HFIELD]
   if not hfield_geoms:
-    return jnp.zeros(points.shape[:-1], dtype=points.dtype)
+    return jnp.zeros_like(points[:, 0])  # (N, *b)
   g = hfield_geoms[0]
   hp, hm = data.geom_xpos[g], data.geom_xmat[g]
 
@@ -124,12 +146,17 @@ def _gait_of(u, mode):
 
 
 def residual(model, data, params):
+  """Batch-trailing polymorphic (see tasks/humanoid.py): runs per-sample
+  on the general path and in tile layout inside the megakernel. Gait
+  tables are selected by one-hot sums; model constants enter as python
+  scalars (Pallas captured-constant rule)."""
+  import numpy as np
   dtype = data.qpos.dtype
   u = data.userdata
   mode = u[16].astype(jnp.int32)
   trunk = model.body("trunk")
 
-  foot_pos = _foot_positions(model, data)
+  foot_pos = _foot_positions(model, data)  # (4, 3, *b)
   avg_foot = jnp.mean(foot_pos, axis=0)
   torso_xmat = data.xmat[trunk]
   torso_pos = data.xipos[trunk]
@@ -141,7 +168,8 @@ def residual(model, data, params):
   up_quad = torso_xmat[2, 2] - 1.0
   up_biped = torso_xmat[2, 0] - handstand
   upright0 = jnp.where(mode == MODE_BIPED, up_biped, up_quad)
-  upright = jnp.stack([upright0, jnp.zeros((), dtype), jnp.zeros((), dtype)])
+  zero = upright0 * 0.0
+  upright = jnp.stack([upright0, zero, zero])
 
   # ---------- Height (quadruped.cc:75-89) ----------
   height_goal = jnp.where(mode == MODE_BIPED, _HEIGHT_BIPED,
@@ -152,23 +180,26 @@ def residual(model, data, params):
   # ---------- Position (quadruped.cc:92-108): head → goal mocap;
   # in Walk mode the transition FSM moves the goal along the prescribed
   # arc, so the same term follows the walk trajectory ----------
-  pos_xy = head[:2] - goal[:2]
+  pos_xy = head[:2] - (goal[:2] + zero)
   pos_z = jnp.where(mode == MODE_SCRAMBLE, 2.0 * (head[2] - goal[2]), 0.0)
-  position = jnp.concatenate([pos_xy, pos_z[None]])
+  position = jnp.concatenate([pos_xy, (pos_z + zero)[None]])
 
   # ---------- Gait (quadruped.cc:110-146) ----------
   gait = _gait_of(u, mode)
-  duty = _GAIT_PARAM[gait, 0]
-  amplitude = _GAIT_PARAM[gait, 2].astype(dtype)
+  duty = _sel_scalar(_GAIT_PARAM, gait, 0)
+  amplitude = _sel_scalar(_GAIT_PARAM, gait, 2)
   phase = _get_phase(u, data.time)
-  footphase = 2 * jnp.pi * _GAIT_PHASE[gait]
-  step = amplitude * _step_height(phase, footphase, duty)  # (4,)
+  footphase = 2 * jnp.pi * _sel_row(_GAIT_PHASE, gait)  # (4, ...)
+  step = amplitude * _step_height(phase, footphase, duty)
 
   # scramble: query point shifted toward the goal (quadruped.cc:126-135)
-  to_goal = goal - foot_pos
-  to_goal = to_goal.at[:, 2].set(0.0)
+  to_goal = (goal + foot_pos * 0.0) - foot_pos  # (4, 3, *b)
+  # planar direction: zero the z row by restacking (.at[].set would be a
+  # scatter — unimplemented in the Mosaic lowering)
+  to_goal = jnp.stack(
+      [to_goal[:, 0], to_goal[:, 1], to_goal[:, 2] * 0.0], axis=1)
   to_goal = to_goal / jnp.maximum(
-      jnp.linalg.norm(to_goal, axis=-1, keepdims=True), 1e-9)
+      jnp.sqrt(jnp.sum(to_goal * to_goal, axis=1, keepdims=True)), 1e-9)
   query = jnp.where(mode == MODE_SCRAMBLE, foot_pos + 0.15 * to_goal,
                     foot_pos)
   ground = _ground_under(model, data, query)  # terrain-aware (Hill task)
@@ -177,9 +208,14 @@ def residual(model, data, params):
   hdiff = jnp.where(mode == MODE_SCRAMBLE, jnp.minimum(hdiff, 0.0), hdiff)
   gait_res = jnp.where(step != 0.0, hdiff, 0.0)
   # biped: ignore the "hands" (front feet, or hind feet in handstand)
-  is_front = jnp.asarray([1.0, 1.0, 0.0, 0.0], dtype=dtype)
-  hands = jnp.where(params[_P_BIPED_TYPE] > 0.5, 1.0 - is_front, is_front)
-  gait_res = jnp.where((mode == MODE_BIPED) & (hands > 0.5), 0.0, gait_res)
+  front = [1.0, 1.0, 0.0, 0.0]
+  rows = []
+  for i in range(4):
+    hand_i = jnp.where(params[_P_BIPED_TYPE] > 0.5, 1.0 - front[i],
+                       front[i])
+    rows.append(jnp.where((mode == MODE_BIPED) & (hand_i > 0.5),
+                          0.0, gait_res[i]))
+  gait_res = jnp.stack(rows)
 
   # ---------- Balance: capture point (quadruped.cc:149-156) ----------
   compos = data.subtree_com[trunk]
@@ -192,44 +228,50 @@ def residual(model, data, params):
   effort = 2e-2 * data.actuator_force
 
   # ---------- Posture (quadruped.cc:163-202) ----------
-  home = jnp.asarray(model.keyframe("home")[0], dtype=dtype)
-  posture = (data.qpos[7:] - home[7:]) * _JOINT_POSTURE_GAIN.astype(dtype)
-  arm_scale = params[_P_ARM_POSTURE].astype(dtype)
-  front_sel = jnp.repeat(is_front, 3)
-  arm_sel = jnp.where(params[_P_BIPED_TYPE] > 0.5, 1.0 - front_sel,
-                      front_sel)
-  posture = jnp.where((mode == MODE_BIPED) & (arm_sel > 0.5),
-                      posture * arm_scale, posture)
+  home = np.asarray(model.keyframe("home")[0], dtype=np.float32)
+  gains = np.asarray([2.0, 1.0, 1.0] * 4, dtype=np.float32)
+  arm_scale = params[_P_ARM_POSTURE]
+  rows = []
+  for i in range(12):
+    p = (data.qpos[7 + i] - float(home[7 + i])) * float(gains[i])
+    front_i = front[i // 3]
+    arm_i = jnp.where(params[_P_BIPED_TYPE] > 0.5, 1.0 - front_i, front_i)
+    rows.append(jnp.where((mode == MODE_BIPED) & (arm_i > 0.5),
+                          p * arm_scale, p))
+  posture = jnp.stack(rows)
 
   # ---------- Orientation / yaw (quadruped.cc:205-216) ----------
   head_quad = jnp.stack([torso_xmat[0, 0], torso_xmat[1, 0]])
   head_biped = handstand * jnp.stack([torso_xmat[0, 2], torso_xmat[1, 2]])
   heading_vec = jnp.where(mode == MODE_BIPED, head_biped, head_quad)
   heading_vec = heading_vec / jnp.maximum(
-      jnp.linalg.norm(heading_vec), 1e-9)
+      jnp.sqrt(jnp.sum(heading_vec * heading_vec, axis=0)), 1e-9)
   hgoal = params[_P_HEADING]
-  orientation = heading_vec - jnp.stack([jnp.cos(hgoal), jnp.sin(hgoal)])
+  orientation = jnp.stack([heading_vec[0] - jnp.cos(hgoal),
+                           heading_vec[1] - jnp.sin(hgoal)])
 
   # ---------- Angular momentum (quadruped.cc:219-222) ----------
   angmom = psensors.subtree_angmom(model, data, trunk)
 
   return jnp.concatenate([
-      upright, height[None], position, gait_res, balance, effort, posture,
-      orientation.astype(dtype), angmom,
+      upright, (height + zero)[None], position, gait_res, balance, effort,
+      posture, orientation.astype(dtype), angmom,
   ])
 
 
 def weight_mod(model, data, params):
   """Gait-dependent Balance/Upright/Height weights (the reference's
-  Transition weight writes, quadruped.cc:291-302)."""
+  Transition weight writes, quadruped.cc:291-302). Polymorphic: returns
+  (9,)-leading with the batch shape of userdata trailing."""
   u = data.userdata
   mode = u[16].astype(jnp.int32)
   gait = _gait_of(u, mode)
-  scale = jnp.ones(9, dtype=data.qpos.dtype)
-  scale = scale.at[_T_BALANCE].set(_GAIT_PARAM[gait, 3])
-  scale = scale.at[_T_UPRIGHT].set(_GAIT_PARAM[gait, 4])
-  scale = scale.at[_T_HEIGHT].set(_GAIT_PARAM[gait, 5])
-  return scale
+  one = (u[0] * 0.0) + 1.0
+  rows = [one] * 9
+  rows[_T_BALANCE] = _sel_scalar(_GAIT_PARAM, gait, 3) + 0.0 * one
+  rows[_T_UPRIGHT] = _sel_scalar(_GAIT_PARAM, gait, 4) + 0.0 * one
+  rows[_T_HEIGHT] = _sel_scalar(_GAIT_PARAM, gait, 5) + 0.0 * one
+  return jnp.stack(rows)
 
 
 def transition(model, data, params):

@@ -114,6 +114,32 @@ def test_tilestep_free_joint_single_step_matches_general():
   np.testing.assert_allclose(np.asarray(gv), np.asarray(tv).T, atol=2e-4)
 
 
+def test_quadruped_megakernel_matches_general_path():
+  """Mocap goal + userdata gait FSM + weight_mod + subtree angmom all
+  inside the tile rollout — matches the general path."""
+  task = registry.get_task("Quadruped Flat")
+  m = task.model
+  data = phys_io.make_data(m)
+  qpos, _, _ = m.keyframe("home")
+  data = data.replace(
+      qpos=jnp.asarray(qpos, dtype=data.qpos.dtype),
+      mocap_pos=jnp.asarray([[1.0, 0.3, 0.3]], jnp.float32))
+  u = np.zeros(m.nuserdata, np.float32)
+  u[0] = 2  # trot
+  u[3] = 4 * np.pi  # phase velocity
+  data = data.replace(userdata=jnp.asarray(u))
+  T, n = 10, 8
+  actions = 0.2 * jax.random.normal(
+      jax.random.PRNGKey(0), (n, T, m.nu), dtype=jnp.float32)
+  mr = MR.MegaRollout(task, T)
+  ref = _general_returns(task, data, actions, T)
+  got = jax.jit(mr.returns_xla)(
+      data.qpos, data.qvel, actions, task.params, data.time,
+      mocap_pos=data.mocap_pos, mocap_quat=data.mocap_quat,
+      userdata=data.userdata)
+  np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-3)
+
+
 def test_humanoid_megakernel_matches_general_path():
   """Contact-rich free-joint humanoid (plane-box + box-box + subtree-CoM
   residual terms): tile rollout == general rollout."""
