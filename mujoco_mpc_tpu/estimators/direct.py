@@ -262,7 +262,11 @@ class Direct:
       return delta.reshape(T, nv), jnp.zeros((0,), dtype=qs.dtype)
 
     diag, off1, off2 = band.assemble_from_stencils(jtj, T)
-    diag = diag + reg * jnp.eye(nv, dtype=qs.dtype)
+    # Levenberg-style SCALE-RELATIVE damping: JᵀJ spans ~1e9 for stiff
+    # force residuals, so an absolute reg drowns in f32 roundoff and the
+    # blocked Cholesky sees an indefinite matrix (nan factor)
+    scale = jnp.max(jnp.abs(jnp.diagonal(diag, axis1=-2, axis2=-1)))
+    diag = diag + (reg + 1e-6 * scale) * jnp.eye(nv, dtype=qs.dtype)
     gq = band.scatter_grad(jtr, T)  # (T, nv)
     fB = band.factor(diag, off1, off2)
 
@@ -313,7 +317,11 @@ class Direct:
 
     ts = jnp.arange(T - 2)
     (hess, grad), _ = jax.lax.scan(scatter, (hess, grad), (ts, jtj, jtr))
-    hess = hess + self.config.regularization * jnp.eye(ntot, dtype=dtype)
+    # same scale-relative damping as the band path (keeps them one
+    # iterate sequence and f32-safe on stiff force residuals)
+    scale = jnp.max(jnp.abs(jnp.diagonal(hess)))
+    hess = hess + (self.config.regularization +
+                   1e-6 * scale) * jnp.eye(ntot, dtype=dtype)
     return -jnp.linalg.solve(hess, grad)
 
   # ------------------------------------------------------------------- API
@@ -348,11 +356,14 @@ class Direct:
 
       costs, cands = jax.vmap(try_step)(steps)
       cur = self._total_cost(qs, theta, sensors, ctrls)
-      best = jnp.argmin(costs)
+      # nan costs (diverged GN trial steps) must not win NOR leak into
+      # the reported cost: nan < cur is False, and the report must be the
+      # kept iterate's cost, not min() (min(nan, x) is nan)
+      best = jnp.argmin(jnp.where(jnp.isnan(costs), jnp.inf, costs))
       improved = costs[best] < cur
       new = jax.tree.map(
           lambda a, b: jnp.where(improved, a[best], b), cands, (qs, theta))
-      return new, jnp.minimum(costs[best], cur)
+      return new, jnp.where(improved, costs[best], cur)
 
     (qs, theta), costs = jax.lax.scan(
         iteration, (qpos_init, theta0), None, length=cfg.max_iterations)

@@ -267,8 +267,11 @@ def solve(m: Model, d: Data, qacc_smooth: jax.Array,
     t_new = jnp.where(reverse, 1.0, t_new)
     return f_new, y_new, t_new
 
-  f, _, _ = jax.lax.fori_loop(
-      0, _ITERATIONS, body, (f0, f0, jnp.ones((), dtype=dtype)))
+  # data-derived momentum init: under shard_map the loop carry must have
+  # a consistent varying-axis type (a literal 1.0 is replicated while the
+  # in-loop restart value is varying — the VMA checker rejects the mix)
+  t_init = 1.0 + 0.0 * jnp.sum(f0)
+  f, _, _ = jax.lax.fori_loop(0, _ITERATIONS, body, (f0, f0, t_init))
 
   qfrc = jmat.T @ f
   if have_contacts:

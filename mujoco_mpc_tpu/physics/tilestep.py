@@ -1183,7 +1183,8 @@ def step_tb(tm: TileModel, qpos, qvel, ctrl, mocap_pos=None,
       t_new2 = jnp.where(reverse, jnp.ones_like(t), t_new)
       return f_new, y_new, t_new2
 
-    t0s = jnp.ones(b, dtype=f0.dtype)
+    # data-derived momentum init (see solver.py: shard_map VMA consistency)
+    t0s = 1.0 + 0.0 * jnp.sum(f0, axis=0)
     f, _, _ = jax.lax.fori_loop(0, _ITERATIONS, apgd_body, (f0, f0, t0s))
 
     qfc = jmat_t_vec(f)  # (nv, *b)
