@@ -34,6 +34,13 @@ class AgentServicer:
         req.task_id, planner=req.planner or "sampling",
         horizon_steps=req.horizon_steps or None,
         model_xml=req.model_xml or None)
+    # warm-up: trigger every jit compile (optimize/action/step/forward) now,
+    # under Init's long client deadline, so later RPCs respond at
+    # steady-state latency instead of stalling minutes on first contact
+    self.agent.planner_step()
+    self.agent.step()
+    self.agent.total_cost()
+    self.agent.reset()
     return pb.InitResponse()
 
   def _require(self):
@@ -76,15 +83,29 @@ class AgentServicer:
   def GetAction(self, req: pb.GetActionRequest, ctx) -> pb.GetActionResponse:
     a = self._require()
     t = req.time if req.time >= 0 else None
-    if req.averaging_duration > 0 and t is not None:
-      # average the policy over the window (grpc_agent_util action
-      # averaging semantics)
-      n = 5
-      ts = t + np.linspace(0, req.averaging_duration, n)
-      actions = np.stack([
-          a.action(time=float(tt), use_previous=req.use_previous_policy)
-          for tt in ts])
-      act = actions.mean(axis=0)
+    if req.averaging_duration > 0:
+      # rollout-based averaging (reference grpc_agent_util.cc GetAction):
+      # roll the *physics* forward over the averaging window executing the
+      # policy and average the executed actions — for feedback policies
+      # (iLQG) this differs from averaging policy samples at fixed state
+      import jax.numpy as jnp
+      m = a.sim_task.model
+      dt = float(m.opt.timestep)
+      n = max(1, int(round(req.averaging_duration / dt)))
+      saved = a.data
+      if t is not None:
+        a.data = a.data.replace(
+            time=jnp.asarray(t, dtype=a.data.qpos.dtype))
+      actions = []
+      for _ in range(n):
+        u = a.action(use_previous=req.use_previous_policy,
+                     nominal=req.nominal_action)
+        actions.append(u)
+        a.data = a.data.replace(
+            ctrl=jnp.asarray(u, dtype=a.data.qpos.dtype))
+        a.data = a._jit_step(m, a.data)
+      act = np.stack(actions).mean(axis=0)
+      a.data = saved
     else:
       act = a.action(time=t, use_previous=req.use_previous_policy,
                      nominal=req.nominal_action)

@@ -35,9 +35,13 @@ class AgentClient:
 
   def __init__(self, task_id: str, planner: str = "sampling",
                horizon_steps: int = 0, port: Optional[int] = None,
-               server_timeout: float = 180.0, jax_platform: str = "",
+               server_timeout: float = 600.0, jax_platform: str = "",
                model_xml: str = ""):
     self._proc = None
+    # every RPC gets this deadline: the first call of each kind may trigger
+    # a jit compile on the server (slow on a loaded CPU), and an unbounded
+    # default deadline turns a wedged server into a hung test
+    self._timeout = server_timeout
     if port is None:
       port = _find_free_port()
       env = dict(os.environ)
@@ -52,10 +56,16 @@ class AgentClient:
     grpc.channel_ready_future(self._channel).result(timeout=server_timeout)
 
     def rpc(name, req_cls, resp_cls):
-      return self._channel.unary_unary(
+      call = self._channel.unary_unary(
           f"/{_SERVICE}/{name}",
           request_serializer=req_cls.SerializeToString,
           response_deserializer=resp_cls.FromString)
+
+      def call_with_deadline(req, timeout=None, _call=call):
+        return _call(req, timeout=self._timeout if timeout is None
+                     else timeout)
+
+      return call_with_deadline
 
     self._init = rpc("Init", pb.InitRequest, pb.InitResponse)
     self._set_state = rpc("SetState", pb.SetStateRequest, pb.SetStateResponse)

@@ -83,12 +83,55 @@ class DirectServicer:
         iterations=int(result.iterations))
 
   def Cost(self, req, ctx):
-    c = self.direct._total_cost(self.qpos, self.sensors, self.ctrls)
+    c = self.direct._total_cost(self.qpos, self.direct.default_parameters(),
+                                self.sensors, self.ctrls)
     return pb.DirectCostResponse(cost=float(c))
 
   def Status(self, req, ctx):
     return pb.DirectStatusResponse(
         horizon=self.direct.config.horizon, optimized=self.optimized)
+
+  def Noise(self, req: pb.DirectNoiseRequest, ctx):
+    """Get/set process (force), sensor and parameter-prior weights
+    (reference direct.proto Noise RPC; direct.h noise_process/noise_sensor).
+    Empty request fields read back the current values."""
+    d = self.direct
+    m = self.task.model
+    if req.process:
+      d.config = dataclasses.replace(
+          d.config, force_weight=jnp.asarray(list(req.process),
+                                             dtype=jnp.float32))
+    if req.sensor:
+      d._sensor_w = jnp.asarray(list(req.sensor), dtype=jnp.float32)
+    if req.parameter and d.ntheta:
+      # parameter-prior weights live on the ParameterSpec blocks
+      # (reference model_parameters.h); rebuild the specs' prior weights
+      pw = list(req.parameter)
+      off, new_specs = 0, []
+      for spec in d.parameters:
+        w = pw[off:off + spec.dim]
+        new_specs.append(dataclasses.replace(
+            spec, prior_weight=float(np.mean(w)) if w else
+            spec.prior_weight))
+        off += spec.dim
+      d.parameters = tuple(new_specs)
+    fw = np.asarray(d.config.force_weight, dtype=np.float64).ravel()
+    if fw.size == 1:
+      fw = np.full((int(m.nv),), fw[0])
+    resp = pb.DirectNoiseResponse(
+        process=fw.tolist(),
+        sensor=np.asarray(d._sensor_w, dtype=np.float64).tolist())
+    for spec in d.parameters:
+      resp.parameter.extend([float(spec.prior_weight)] * spec.dim)
+    return resp
+
+  def SensorInfo(self, req, ctx):
+    """Measurement layout (reference direct.proto SensorInfo)."""
+    d = self.direct
+    return pb.DirectSensorInfoResponse(
+        start_index=int(d.sensor_start),
+        num_measurements=int(d.ns),
+        dim_measurements=int(d.ns))
 
 
 _RPCS = [
@@ -98,6 +141,8 @@ _RPCS = [
     ("Optimize", pb.DirectOptimizeRequest, pb.DirectOptimizeResponse),
     ("Cost", pb.DirectCostRequest, pb.DirectCostResponse),
     ("Status", pb.DirectStatusRequest, pb.DirectStatusResponse),
+    ("Noise", pb.DirectNoiseRequest, pb.DirectNoiseResponse),
+    ("SensorInfo", pb.DirectSensorInfoRequest, pb.DirectSensorInfoResponse),
 ]
 
 
@@ -165,6 +210,25 @@ class DirectClient:
   def status(self) -> dict:
     r = self._rpcs["Status"](pb.DirectStatusRequest())
     return {"horizon": r.horizon, "optimized": r.optimized}
+
+  def noise(self, process=None, sensor=None, parameter=None) -> dict:
+    req = pb.DirectNoiseRequest()
+    if process is not None:
+      req.process.extend(np.asarray(process).tolist())
+    if sensor is not None:
+      req.sensor.extend(np.asarray(sensor).tolist())
+    if parameter is not None:
+      req.parameter.extend(np.asarray(parameter).tolist())
+    r = self._rpcs["Noise"](req)
+    return {"process": np.asarray(r.process),
+            "sensor": np.asarray(r.sensor),
+            "parameter": np.asarray(r.parameter)}
+
+  def sensor_info(self) -> dict:
+    r = self._rpcs["SensorInfo"](pb.DirectSensorInfoRequest())
+    return {"start_index": r.start_index,
+            "num_measurements": r.num_measurements,
+            "dim_measurements": r.dim_measurements}
 
   def close(self):
     self._channel.close()

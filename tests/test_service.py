@@ -52,6 +52,15 @@ def test_mode_rpcs_and_set_anything(client):
   u = client.get_action(nominal_action=True)
   assert u.shape == (2,)
 
+  # rollout-based action averaging (reference grpc_agent_util.cc): the
+  # physics is rolled over the window and restored afterwards
+  st_before = client.get_state()
+  u_avg = client.get_action(time=st_before["time"], averaging_duration=0.05)
+  assert u_avg.shape == (2,) and np.all(np.isfinite(u_avg))
+  st_after = client.get_state()
+  np.testing.assert_allclose(st_after["qpos"], st_before["qpos"], atol=1e-9)
+  assert st_after["time"] == st_before["time"]
+
   # SetAnything: state + weights + parameters in one call
   client.set_anything(qpos=[0.1, 0.1], cost_weights={"Velocity": 0.25})
   st = client.get_state()
@@ -111,6 +120,17 @@ def test_direct_service_roundtrip():
     res = dc.optimize()
     assert res["cost_final"] <= res["cost_initial"]
     assert dc.status()["optimized"]
+
+    # Noise + SensorInfo RPCs (reference direct.proto:29,37)
+    info = dc.sensor_info()
+    assert info["num_measurements"] == 5  # cartpole sensordata dim
+    n0 = dc.noise()
+    assert n0["process"].shape == (2,) and n0["sensor"].shape == (5,)
+    c_before = dc.cost()
+    n1 = dc.noise(process=[2.0, 2.0], sensor=[0.5] * 5)
+    np.testing.assert_allclose(n1["process"], [2.0, 2.0])
+    np.testing.assert_allclose(n1["sensor"], [0.5] * 5)
+    assert dc.cost() != c_before  # weights feed the cost
 
 
 def test_async_planning_over_rpc(client):
