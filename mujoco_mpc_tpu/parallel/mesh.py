@@ -69,6 +69,42 @@ def _resample_nominal(cfg, m, policy, data):
   return new_times, nominal
 
 
+def _shard_mega(planner, per_dev: int):
+  """The planner's whole-rollout megakernel for per-shard evaluation.
+
+  Built by the sharded planners' init() (outside jit). On TPU the Pallas
+  kernel runs per shard inside shard_map (per-device candidate count must
+  be a 128 multiple); elsewhere (CPU mesh tests / dryrun) the same tile
+  math runs as plain XLA (MegaRollout.returns_xla), so multi-chip
+  correctness of the *fast path* is exercised without Mosaic. (mega=None,
+  ·) → general vmap rollout."""
+  mega = getattr(planner, "_mega", None)
+  if mega is None:
+    return None, False
+  use_pallas = (jax.default_backend() == "tpu" and per_dev % 128 == 0)
+  return mega, use_pallas
+
+
+def _mega_shard_returns(mega, use_pallas, task, cfg, data, new_times, cands,
+                        params):
+  """Per-shard candidate returns through the megakernel (inside shard_map).
+
+  All operands are marked axis-varying: the replicated start state feeds a
+  per-shard kernel whose outputs are varying (VMA-checked shard_map)."""
+  m = task.model
+  ts = data.time + jnp.arange(
+      cfg.horizon, dtype=cands.dtype) * m.opt.timestep
+  actions = jax.vmap(
+      lambda v: spline.sample_many(new_times, v, ts, cfg.interp))(cands)
+  p = params if params is not None else task.params
+  qp, qv, mp, mq, ud, t0, p = _vary(
+      (data.qpos, data.qvel, data.mocap_pos, data.mocap_quat,
+       data.userdata, data.time, p))
+  fn = mega.returns if use_pallas else mega.returns_xla
+  return fn(qp, qv, actions, p, t0, mocap_pos=mp, mocap_quat=mq,
+            userdata=ud)
+
+
 class ShardedSamplingPlanner(SamplingPlanner):
   """Predictive sampling with the candidate axis sharded over a mesh.
 
@@ -77,10 +113,20 @@ class ShardedSamplingPlanner(SamplingPlanner):
   mesh size.
   """
 
-  def __init__(self, config: SamplingConfig, mesh: Mesh):
-    super().__init__(config)
+  def __init__(self, config: SamplingConfig, mesh: Mesh,
+               use_megakernel: bool = True):
+    super().__init__(config, use_megakernel=use_megakernel)
     self.mesh = mesh
     _check_divisible(config.num_trajectories, mesh, "num_trajectories")
+
+  def init(self, task: Task) -> SamplingPolicy:
+    policy = super().init(task)
+    if self.use_megakernel and self._mega is None:
+      # build here (outside jit — concrete model constants) even off-TPU:
+      # the CPU mesh runs the same tile math via returns_xla
+      from mujoco_mpc_tpu.ops import megarollout
+      self._mega = megarollout.try_build(task, self.config.horizon)
+    return policy
 
   def optimize(self, task: Task, policy: SamplingPolicy, data: Data,
                rng: jax.Array, params: Optional[TaskParams] = None
@@ -95,6 +141,7 @@ class ShardedSamplingPlanner(SamplingPlanner):
     new_times, nominal = _resample_nominal(cfg, m, policy, data)
     lo, hi = m.actuator_ctrlrange[:, 0], m.actuator_ctrlrange[:, 1]
     scale = jnp.where(m.actuator_ctrllimited, 0.5 * (hi - lo), 1.0)
+    mega, use_pallas = _shard_mega(self, per_dev)
 
     def shard_eval(rng_shard):
       """Runs on each device: generate + roll the local candidate shard."""
@@ -116,6 +163,13 @@ class ShardedSamplingPlanner(SamplingPlanner):
       cands = nominal[None] + noise
       cands = jnp.where(m.actuator_ctrllimited,
                         jnp.clip(cands, lo, hi), cands)
+
+      if mega is not None:
+        # fast path: per-shard whole-rollout megakernel (Pallas on TPU,
+        # tile-XLA elsewhere) — the winner reduction below stays an ICI
+        # collective, so the round-2 single-chip perf story composes
+        return _mega_shard_returns(mega, use_pallas, task, cfg, data,
+                                   new_times, cands, params), cands
 
       # the scan carry must be marked varying on the candidate axis
       # (each shard evolves its own copies of the replicated start state)
@@ -149,10 +203,18 @@ class ShardedCrossEntropyPlanner(CrossEntropyPlanner):
   gathered (tiny) return/candidate arrays — semantics identical to
   CrossEntropyPlanner (reference cross_entropy/planner.cc:168-260)."""
 
-  def __init__(self, config: CEMConfig, mesh: Mesh):
-    super().__init__(config)
+  def __init__(self, config: CEMConfig, mesh: Mesh,
+               use_megakernel: bool = True):
+    super().__init__(config, use_megakernel=use_megakernel)
     self.mesh = mesh
     _check_divisible(config.num_trajectories, mesh, "num_trajectories")
+
+  def init(self, task: Task) -> CEMPolicy:
+    policy = super().init(task)
+    if self.use_megakernel and self._mega is None:
+      from mujoco_mpc_tpu.ops import megarollout
+      self._mega = megarollout.try_build(task, self.config.horizon)
+    return policy
 
   def optimize(self, task: Task, policy: CEMPolicy, data: Data,
                rng: jax.Array, params: Optional[TaskParams] = None
@@ -166,6 +228,7 @@ class ShardedCrossEntropyPlanner(CrossEntropyPlanner):
     new_times, nominal = _resample_nominal(cfg, m, policy, data)
     std_rs = spline.resample(policy.times, policy.std, new_times, cfg.interp)
     lo, hi = m.actuator_ctrlrange[:, 0], m.actuator_ctrlrange[:, 1]
+    mega, use_pallas = _shard_mega(self, per_dev)
 
     def shard_eval(rng_shard):
       idx = jax.lax.axis_index(AXIS)
@@ -180,6 +243,11 @@ class ShardedCrossEntropyPlanner(CrossEntropyPlanner):
       cands = nominal[None] + noise
       cands = jnp.where(m.actuator_ctrllimited,
                         jnp.clip(cands, lo, hi), cands)
+
+      if mega is not None:
+        return _mega_shard_returns(mega, use_pallas, task, cfg, data,
+                                   new_times, cands, params), cands
+
       data_v = _vary(data)
 
       def ret(values):

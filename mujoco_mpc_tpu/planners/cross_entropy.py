@@ -59,10 +59,19 @@ class CEMConfig:
 
 
 class CrossEntropyPlanner:
-  def __init__(self, config: CEMConfig):
+  def __init__(self, config: CEMConfig, use_megakernel: bool = True):
     self.config = config
+    self.use_megakernel = use_megakernel
+    self._mega = None
 
   def init(self, task: Task) -> CEMPolicy:
+    # whole-rollout Pallas megakernel fast path (ops/megarollout.py) —
+    # same machinery as SamplingPlanner.init
+    if (self.use_megakernel and self._mega is None and
+        self.config.num_trajectories % 128 == 0 and
+        jax.default_backend() == "tpu"):
+      from mujoco_mpc_tpu.ops import megarollout
+      self._mega = megarollout.try_build(task, self.config.horizon)
     m = task.model
     k = self.config.spline_points
     horizon_time = self.config.horizon * m.opt.timestep
@@ -104,11 +113,23 @@ class CrossEntropyPlanner:
     lo, hi = m.actuator_ctrlrange[:, 0], m.actuator_ctrlrange[:, 1]
     cands = jnp.where(m.actuator_ctrllimited, jnp.clip(cands, lo, hi), cands)
 
-    def ret(values):
-      pf = lambda t, d: spline.sample(new_times, values, t, cfg.interp)
-      return rollout_mod.rollout_return(task, data, pf, cfg.horizon, params)
+    if self._mega is not None and data.qpos.ndim == 1 and n % 128 == 0:
+      ts = data.time + jnp.arange(
+          cfg.horizon, dtype=nominal.dtype) * m.opt.timestep
+      actions = jax.vmap(
+          lambda v: spline.sample_many(new_times, v, ts, cfg.interp))(cands)
+      returns = self._mega.returns(
+          data.qpos, data.qvel, actions,
+          params if params is not None else task.params, data.time,
+          mocap_pos=data.mocap_pos, mocap_quat=data.mocap_quat,
+          userdata=data.userdata)
+    else:
+      def ret(values):
+        pf = lambda t, d: spline.sample(new_times, values, t, cfg.interp)
+        return rollout_mod.rollout_return(task, data, pf, cfg.horizon,
+                                          params)
 
-    returns = jax.vmap(ret)(cands)
+      returns = jax.vmap(ret)(cands)
 
     # elite statistics (planner.cc:224-270)
     neg_top, elite_idx = jax.lax.top_k(-returns, cfg.n_elite)

@@ -172,3 +172,58 @@ def test_params_are_runtime_tunable():
   assert not np.allclose(np.asarray(r1), np.asarray(r2))
   np.testing.assert_allclose(np.asarray(r2), 3.0 * np.asarray(r1),
                              rtol=1e-5)
+
+
+def test_sharded_megakernel_matches_unsharded():
+  """The megakernel under shard_map (the multi-chip fast path,
+  parallel/mesh.py::_mega_shard_returns machinery) == the unsharded tile
+  path on identical candidates, on an 8-device CPU mesh (VERDICT r2 #1)."""
+  from jax.sharding import Mesh, PartitionSpec as P
+  from mujoco_mpc_tpu.parallel import mesh as mesh_mod
+
+  task, data, actions = _walker_setup(T=10, n=32)
+  mr = MR.MegaRollout(task, 10)
+  params = task.params
+
+  ref = jax.jit(mr.returns_xla)(
+      data.qpos, data.qvel, actions, params, data.time,
+      mocap_pos=data.mocap_pos, mocap_quat=data.mocap_quat,
+      userdata=data.userdata)
+
+  mesh = Mesh(np.array(jax.devices()[:8]), (mesh_mod.AXIS,))
+
+  def shard_fn(acts):
+    qp, qv, mp, mq, ud, t0, p = mesh_mod._vary(
+        (data.qpos, data.qvel, data.mocap_pos, data.mocap_quat,
+         data.userdata, data.time, params))
+    return mr.returns_xla(qp, qv, acts, p, t0, mocap_pos=mp,
+                          mocap_quat=mq, userdata=ud)
+
+  sharded = jax.jit(jax.shard_map(
+      shard_fn, mesh=mesh, in_specs=P(mesh_mod.AXIS),
+      out_specs=P(mesh_mod.AXIS)))(actions)
+  np.testing.assert_allclose(np.asarray(sharded), np.asarray(ref),
+                             rtol=1e-5)
+
+
+def test_sharded_sampling_planner_uses_megakernel():
+  """ShardedSamplingPlanner builds + routes through the megakernel on the
+  CPU mesh (the dryrun asserts the same on the driver side)."""
+  from jax.sharding import Mesh
+  from mujoco_mpc_tpu.parallel import mesh as mesh_mod
+  from mujoco_mpc_tpu.planners import sampling
+
+  task = registry.get_task("Walker")
+  cfg = sampling.SamplingConfig(num_trajectories=16, spline_points=4,
+                                horizon=10)
+  mesh = Mesh(np.array(jax.devices()[:8]), (mesh_mod.AXIS,))
+  planner = mesh_mod.ShardedSamplingPlanner(cfg, mesh)
+  policy = planner.init(task)
+  assert planner._mega is not None
+  data = phys_io.make_data(task.model)
+  qpos, _, _ = task.model.keyframe("home")
+  data = data.replace(qpos=jnp.asarray(qpos, dtype=data.qpos.dtype))
+  policy, info = jax.jit(planner.optimize)(task, policy, data,
+                                           jax.random.PRNGKey(0))
+  assert info.costs.shape == (16,)
+  assert bool(jnp.all(jnp.isfinite(info.costs)))
