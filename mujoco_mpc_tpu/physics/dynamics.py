@@ -201,6 +201,35 @@ def _fluid_forces(m: Model, d: Data) -> jax.Array:
   return jnp.sum(jnp.where(m.dof_body_mask, proj, 0.0), axis=1)
 
 
+def tendon_jacobian_np(m: Model):
+  """(ntendon, nv) constant moment rows of the fixed tendons (numpy).
+
+  Fixed tendons couple scalar joints with constant coefficients, so
+  length = J·qpos-like gather and the Jacobian is a compile-time constant
+  (MuJoCo mj_tendon for mjWRAP_JOINT)."""
+  import numpy as np
+  jac = np.zeros((m.ntendon, m.nv), dtype=np.float32)
+  for t, wraps in enumerate(m.tendon_joints):
+    for jid, coef in wraps:
+      jac[t, m.jnt_dofadr[jid]] += coef
+  return jac
+
+
+def tendon_lengths(m: Model, d: Data):
+  """(length, velocity) of the fixed tendons, each (ntendon,)."""
+  dtype = d.qpos.dtype
+  lens, vels = [], []
+  for wraps in m.tendon_joints:
+    ln = jnp.zeros((), dtype=dtype)
+    vl = jnp.zeros((), dtype=dtype)
+    for jid, coef in wraps:
+      ln = ln + coef * d.qpos[m.jnt_qposadr[jid]]
+      vl = vl + coef * d.qvel[m.jnt_dofadr[jid]]
+    lens.append(ln)
+    vels.append(vl)
+  return jnp.stack(lens), jnp.stack(vels)
+
+
 def passive(m: Model, d: Data) -> Data:
   """Springs, dampers, fluid drag and smoothed joint friction loss."""
   dtype = d.qpos.dtype
@@ -213,6 +242,16 @@ def passive(m: Model, d: Data) -> Data:
     # smooth Coulomb-style friction loss (reference puts this in the
     # constraint solver; a tanh regularization keeps it smooth for autodiff)
     qfrc = qfrc - m.dof_frictionloss * jnp.tanh(d.qvel / 0.01)
+  if m.ntendon:
+    # tendon spring (deadband between lengthspring[0] and [1]) + damping
+    # projected through the constant tendon Jacobian (mj_passive semantics)
+    jten = jnp.asarray(tendon_jacobian_np(m), dtype=dtype)
+    ln, vl = tendon_lengths(m, d)
+    lo = m.tendon_lengthspring[:, 0]
+    hi = m.tendon_lengthspring[:, 1]
+    stretch = jnp.where(ln > hi, ln - hi, jnp.where(ln < lo, ln - lo, 0.0))
+    f_ten = -m.tendon_stiffness * stretch - m.tendon_damping * vl
+    qfrc = qfrc + jten.T @ f_ten
   if not m.has_spring:
     return d.replace(qfrc_passive=qfrc)
   # joint springs about qpos_spring
@@ -293,8 +332,20 @@ def actuation(m: Model, d: Data) -> Data:
 
   # moments for non-scalar transmissions
   other_moments = {}
+  ten_len = ten_vel = None
   for u in other_u:
-    if m.actuator_trntype[u] == TrnType.JOINT:  # ball/free rotary gear
+    if m.actuator_trntype[u] == TrnType.TENDON:
+      # tendon transmission (mj_transmission mjTRN_TENDON): moment =
+      # gear[0] · tendon Jacobian; length/velocity feed position servos
+      if ten_len is None:
+        ten_len, ten_vel = tendon_lengths(m, d)
+        jten_np = tendon_jacobian_np(m)
+      tid = m.actuator_trnid[u]
+      g0 = m.actuator_gear[u, 0]
+      other_moments[u] = g0 * jnp.asarray(jten_np[tid], dtype=dtype)
+      length = length.at[u].set(g0 * ten_len[tid])
+      velocity = velocity.at[u].set(g0 * ten_vel[tid])
+    elif m.actuator_trntype[u] == TrnType.JOINT:  # ball/free rotary gear
       j = m.actuator_trnid[u]
       jvadr = m.jnt_dofadr[j]
       nrot = 3

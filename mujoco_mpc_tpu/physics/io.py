@@ -29,7 +29,22 @@ _SUPPORTED_PAIRS = {
     (types.GeomType.HFIELD, types.GeomType.SPHERE),
     (types.GeomType.HFIELD, types.GeomType.CAPSULE),
     (types.GeomType.HFIELD, types.GeomType.BOX),
+    # convex mesh narrowphase (support-function SAT, collision.py)
+    (types.GeomType.PLANE, types.GeomType.MESH),
+    (types.GeomType.SPHERE, types.GeomType.MESH),
+    (types.GeomType.CAPSULE, types.GeomType.MESH),
+    (types.GeomType.BOX, types.GeomType.MESH),
+    (types.GeomType.MESH, types.GeomType.MESH),
 }
+
+
+def _fibonacci_sphere(n: int) -> np.ndarray:
+  """(n, 3) roughly uniform unit directions (hull-vertex reduction set)."""
+  i = np.arange(n, dtype=np.float64)
+  phi = np.pi * (3.0 - np.sqrt(5.0)) * i
+  z = 1.0 - 2.0 * (i + 0.5) / n
+  r = np.sqrt(np.maximum(1.0 - z * z, 0.0))
+  return np.stack([r * np.cos(phi), r * np.sin(phi), z], axis=1)
 
 
 def _names(mj, adr_list, count, prefix) -> tuple:
@@ -244,17 +259,88 @@ def from_mjmodel(mj, dtype=jnp.float32) -> types.Model:
   for i in range(mj.nu):
     trn = int(mj.actuator_trntype[i])
     if trn not in (int(mujoco.mjtTrn.mjTRN_JOINT),
-                   int(mujoco.mjtTrn.mjTRN_SITE)):
+                   int(mujoco.mjtTrn.mjTRN_SITE),
+                   int(mujoco.mjtTrn.mjTRN_TENDON)):
       raise NotImplementedError(
-          f"actuator {i}: transmission type {trn} unsupported (joint/site "
-          "only in this round)")
+          f"actuator {i}: transmission type {trn} unsupported (joint/site/"
+          "tendon only)")
     if int(mj.actuator_gaintype[i]) > 1 or int(mj.actuator_biastype[i]) > 1:
       raise NotImplementedError("muscle actuators unsupported")
 
   trn_map = {
       int(mujoco.mjtTrn.mjTRN_JOINT): types.TrnType.JOINT,
       int(mujoco.mjtTrn.mjTRN_SITE): types.TrnType.SITE,
+      int(mujoco.mjtTrn.mjTRN_TENDON): types.TrnType.TENDON,
   }
+
+  # fixed tendons: constant-coefficient joint couplings (the Jacobian row
+  # is a compile-time constant). Spatial tendons (site/geom wrapping) are
+  # honestly unsupported.
+  tendon_joints = []
+  for i in range(mj.ntendon):
+    adr, num = int(mj.tendon_adr[i]), int(mj.tendon_num[i])
+    wraps = []
+    for w in range(adr, adr + num):
+      if int(mj.wrap_type[w]) != int(mujoco.mjtWrap.mjWRAP_JOINT):
+        raise NotImplementedError(
+            f"tendon {i}: spatial tendon wrapping unsupported "
+            "(fixed joint tendons only)")
+      wraps.append((int(mj.wrap_objid[w]), float(mj.wrap_prm[w])))
+    tendon_joints.append(tuple(wraps))
+
+  # convex mesh collision hulls: vertex clouds (support-exact) + deduped
+  # face normals (SAT axes). Reduction caps keep shapes static and small.
+  VCAP, NCAP = 64, 24
+  mesh_hulls, mesh_norms = [], []
+  if mj.nmesh:
+    sphere_dirs = _fibonacci_sphere(128)
+  for i in range(mj.nmesh):
+    vadr, vnum = int(mj.mesh_vertadr[i]), int(mj.mesh_vertnum[i])
+    v = np.asarray(mj.mesh_vert[vadr:vadr + vnum], dtype=np.float64)
+    if vnum > VCAP:
+      # extreme-vertex reduction: argmax support along 128 directions →
+      # ≤128 unique hull vertices, exact for those support directions
+      idx = np.unique(np.argmax(sphere_dirs @ v.T, axis=1))
+      v = v[idx]
+      if v.shape[0] > VCAP:  # keep the VCAP most-extreme (by norm from com)
+        com = v.mean(0)
+        v = v[np.argsort(-np.linalg.norm(v - com, axis=1))[:VCAP]]
+    pad = np.broadcast_to(v[:1], (VCAP - v.shape[0], 3))
+    mesh_hulls.append(np.concatenate([v, pad]))
+    fadr, fnum = int(mj.mesh_faceadr[i]), int(mj.mesh_facenum[i])
+    f = np.asarray(mj.mesh_face[fadr:fadr + fnum], dtype=np.int64)
+    verts_all = np.asarray(mj.mesh_vert[vadr:vadr + vnum],
+                           dtype=np.float64)
+    e1 = verts_all[f[:, 1]] - verts_all[f[:, 0]]
+    e2 = verts_all[f[:, 2]] - verts_all[f[:, 0]]
+    n = np.cross(e1, e2)
+    nn = np.linalg.norm(n, axis=1)
+    n = n[nn > 1e-12] / nn[nn > 1e-12][:, None]
+    # dedupe by sign-canonical rounding (±n are one SAT axis)
+    n = n * np.where(
+        (n[:, 0] + 1e-6 * n[:, 1] + 1e-12 * n[:, 2]) < 0, -1.0, 1.0)[:, None]
+    n = np.unique(np.round(n, 2), axis=0)
+    n = n / np.maximum(np.linalg.norm(n, axis=1, keepdims=True), 1e-12)
+    if n.shape[0] > NCAP:
+      n = n[np.linspace(0, n.shape[0] - 1, NCAP).astype(int)]
+    if n.shape[0] == 0:
+      n = np.asarray([[0.0, 0.0, 1.0]])
+    padn = np.broadcast_to(n[:1], (NCAP - n.shape[0], 3))
+    mesh_norms.append(np.concatenate([n, padn]))
+
+  # equality constraints: connect / weld / joint
+  eq_supported = {
+      int(mujoco.mjtEq.mjEQ_CONNECT): types.EqType.CONNECT,
+      int(mujoco.mjtEq.mjEQ_WELD): types.EqType.WELD,
+      int(mujoco.mjtEq.mjEQ_JOINT): types.EqType.JOINT,
+  }
+  eq_types = []
+  for i in range(mj.neq):
+    et = int(mj.eq_type[i])
+    if et not in eq_supported:
+      raise NotImplementedError(
+          f"equality {i}: type {et} unsupported (connect/weld/joint only)")
+    eq_types.append(int(eq_supported[et]))
 
   # sensors
   sensor_spec = []
@@ -409,6 +495,32 @@ def from_mjmodel(mj, dtype=jnp.float32) -> types.Model:
       actuator_biasprm=a(mj.actuator_biasprm[:, :3]),
       actuator_dynprm=a(mj.actuator_dynprm[:, :3]),
       actuator_actrange=a(mj.actuator_actrange),
+      # convex mesh hulls
+      nmesh=int(mj.nmesh),
+      mesh_names=_names(mj, mj.name_meshadr, mj.nmesh, "mesh"),
+      mesh_hullvert=(a(np.stack(mesh_hulls)) if mesh_hulls else None),
+      mesh_facenorm=(a(np.stack(mesh_norms)) if mesh_norms else None),
+      # fixed tendons
+      ntendon=int(mj.ntendon),
+      tendon_joints=tuple(tendon_joints),
+      tendon_limited=tuple(bool(v) for v in mj.tendon_limited),
+      tendon_names=_names(mj, mj.name_tendonadr, mj.ntendon, "tendon"),
+      tendon_range=a(mj.tendon_range),
+      tendon_stiffness=a(mj.tendon_stiffness),
+      tendon_damping=a(mj.tendon_damping),
+      tendon_lengthspring=a(mj.tendon_lengthspring),
+      tendon_solref_lim=a(mj.tendon_solref_lim),
+      tendon_solimp_lim=a(mj.tendon_solimp_lim),
+      tendon_margin=a(mj.tendon_margin),
+      # equality constraints
+      neq=int(mj.neq),
+      eq_type=tuple(eq_types),
+      eq_obj1id=ti(mj.eq_obj1id),
+      eq_obj2id=ti(mj.eq_obj2id),
+      eq_active0=tuple(bool(v) for v in mj.eq_active0),
+      eq_data=a(mj.eq_data),
+      eq_solref=a(mj.eq_solref),
+      eq_solimp=a(mj.eq_solimp),
   )
   return model
 

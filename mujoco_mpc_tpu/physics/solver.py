@@ -126,6 +126,110 @@ def _limit_rows(m: Model, d: Data):
           jnp.concatenate(solrefs))
 
 
+def _tendon_limit_rows(m: Model, d: Data):
+  """Two-sided limit rows for limited fixed tendons (constant Jacobians)."""
+  from mujoco_mpc_tpu.physics import dynamics as pdyn
+
+  lim = [t for t in range(m.ntendon) if m.tendon_limited[t]]
+  if not lim:
+    return None
+  dtype = d.qpos.dtype
+  jten = pdyn.tendon_jacobian_np(m)  # (ntendon, nv) numpy
+  ln, _ = pdyn.tendon_lengths(m, d)
+  jmats, poss, solrefs = [], [], []
+  for t in lim:
+    row = jnp.asarray(jten[t], dtype=dtype)
+    lo, hi = m.tendon_range[t, 0], m.tendon_range[t, 1]
+    mg = m.tendon_margin[t]
+    jmats.append(jnp.stack([row, -row]))
+    poss.append(jnp.stack([ln[t] - lo - mg, hi - ln[t] - mg]))
+    solrefs.append(jnp.broadcast_to(m.tendon_solref_lim[t], (2, 2)))
+  return (jnp.concatenate(jmats), jnp.concatenate(poss),
+          jnp.concatenate(solrefs))
+
+
+def _point_jacobian(m: Model, d: Data, body: int, point: jax.Array):
+  """(3, nv) translational Jacobian of world `point` rigidly on `body`."""
+  mask = m.dof_body_mask[:, body]  # (nv,)
+  jac = (d.cdof[:, 3:] +
+         jnp.cross(d.cdof[:, :3], jnp.broadcast_to(point, (m.nv, 3))))
+  return jnp.where(mask[:, None], jac, 0.0).T  # (3, nv)
+
+
+def _equality_rows(m: Model, d: Data):
+  """Bilateral rows for connect/weld/joint equality constraints.
+
+  MuJoCo semantics (mj_instantiateEquality): each active equality adds
+  soft bilateral rows with its own solref/solimp; connect = 3 anchor-
+  coincidence rows, weld = those + 3 orientation rows (relpose quat,
+  torquescale), joint = 1 polynomial-coupling row. Row counts are static
+  (eq set fixed at load); eq_active0 gates rows statically.
+  """
+  from mujoco_mpc_tpu.physics import math as pmath
+  from mujoco_mpc_tpu.physics.types import EqType
+
+  if not m.neq:
+    return None
+  dtype = d.qpos.dtype
+  jmats, poss, solrefs, solimps = [], [], [], []
+  for e in range(m.neq):
+    if not m.eq_active0[e]:
+      continue
+    et, b1, b2 = m.eq_type[e], m.eq_obj1id[e], m.eq_obj2id[e]
+    data = m.eq_data[e]
+    if et == EqType.CONNECT:
+      # anchor given in body1 local frame (data[0:3]); body2 anchor
+      # (data[3:6]) precomputed by the MuJoCo compiler
+      p1 = d.xpos[b1] + pmath.quat_rot(d.xquat[b1], data[0:3])
+      p2 = d.xpos[b2] + pmath.quat_rot(d.xquat[b2], data[3:6])
+      jrows = _point_jacobian(m, d, b1, p1) - _point_jacobian(m, d, b2, p2)
+      jmats.append(jrows)
+      poss.append(p1 - p2)
+      solrefs.append(jnp.broadcast_to(m.eq_solref[e], (3, 2)))
+      solimps.append(jnp.broadcast_to(m.eq_solimp[e], (3, 5)))
+    elif et == EqType.WELD:
+      # data: anchor2(0:3), anchor1(3:6), relpose quat(6:10),
+      # torquescale(10)
+      p1 = d.xpos[b1] + pmath.quat_rot(d.xquat[b1], data[3:6])
+      p2 = d.xpos[b2] + pmath.quat_rot(d.xquat[b2], data[0:3])
+      jtr = _point_jacobian(m, d, b1, p1) - _point_jacobian(m, d, b2, p2)
+      # rotational rows: relative angular velocity Jacobian
+      mask1 = m.dof_body_mask[:, b1]
+      mask2 = m.dof_body_mask[:, b2]
+      jrot = (jnp.where(mask1[:, None], d.cdof[:, :3], 0.0) -
+              jnp.where(mask2[:, None], d.cdof[:, :3], 0.0)).T  # (3, nv)
+      # orientation error: q1 ⊗ relpose vs q2 tangent difference
+      q1r = pmath.quat_mul(d.xquat[b1], data[6:10])
+      rot_err = pmath.quat_sub(q1r, d.xquat[b2])
+      tq = jnp.maximum(data[10], 1e-8)
+      jmats.append(jnp.concatenate([jtr, tq * jrot]))
+      poss.append(jnp.concatenate([p1 - p2, tq * rot_err]))
+      solrefs.append(jnp.broadcast_to(m.eq_solref[e], (6, 2)))
+      solimps.append(jnp.broadcast_to(m.eq_solimp[e], (6, 5)))
+    else:  # EqType.JOINT: qpos1 - qpos0_1 = poly(qpos2 - qpos0_2)
+      j1, j2 = b1, b2
+      q1 = d.qpos[m.jnt_qposadr[j1]] - m.qpos0[m.jnt_qposadr[j1]]
+      row = jnp.zeros((m.nv,), dtype=dtype).at[m.jnt_dofadr[j1]].set(1.0)
+      if j2 >= 0:
+        dq = d.qpos[m.jnt_qposadr[j2]] - m.qpos0[m.jnt_qposadr[j2]]
+        poly = (data[0] + data[1] * dq + data[2] * dq ** 2 +
+                data[3] * dq ** 3 + data[4] * dq ** 4)
+        dpoly = (data[1] + 2 * data[2] * dq + 3 * data[3] * dq ** 2 +
+                 4 * data[4] * dq ** 3)
+        row = row.at[m.jnt_dofadr[j2]].add(-dpoly)
+        pos = q1 - poly
+      else:
+        pos = q1 - data[0]
+      jmats.append(row[None])
+      poss.append(pos[None])
+      solrefs.append(m.eq_solref[e][None])
+      solimps.append(m.eq_solimp[e][None])
+  if not jmats:
+    return None
+  return (jnp.concatenate(jmats), jnp.concatenate(poss),
+          jnp.concatenate(solrefs), jnp.concatenate(solimps))
+
+
 def solve(m: Model, d: Data, qacc_smooth: jax.Array,
           chol_factor) -> Data:
   """Compute qfrc_constraint from contacts and joint limits.
@@ -152,15 +256,27 @@ def solve(m: Model, d: Data, qacc_smooth: jax.Array,
     solimp_list.append(jnp.repeat(d.contact.solimp, 3, axis=0))
 
   lim = _limit_rows(m, d)
+  tlim = _tendon_limit_rows(m, d) if m.ntendon else None
   nlim = 0
-  if lim is not None:
-    jl, pl, sl = lim
-    nlim = jl.shape[0]
-    j_blocks.append(jl)
-    pos_list.append(pl)
-    solref_list.append(sl)
-    solimp_list.append(jnp.broadcast_to(
-        jnp.asarray(_DEFAULT_SOLIMP, dtype=dtype), (nlim, 5)))
+  for block in (lim, tlim):
+    if block is not None:
+      jl, pl, sl = block
+      nlim += jl.shape[0]
+      j_blocks.append(jl)
+      pos_list.append(pl)
+      solref_list.append(sl)
+      solimp_list.append(jnp.broadcast_to(
+          jnp.asarray(_DEFAULT_SOLIMP, dtype=dtype), (jl.shape[0], 5)))
+
+  eq = _equality_rows(m, d) if m.neq else None
+  neq_rows = 0
+  if eq is not None:
+    je, pe, sre, sie = eq
+    neq_rows = je.shape[0]
+    j_blocks.append(je)
+    pos_list.append(pe)
+    solref_list.append(sre)
+    solimp_list.append(sie)
 
   if not j_blocks:
     zero = jnp.zeros((m.nv,), dtype=dtype)
@@ -171,24 +287,31 @@ def solve(m: Model, d: Data, qacc_smooth: jax.Array,
   solref = jnp.concatenate(solref_list)
   solimp = jnp.concatenate(solimp_list)
   nrow = jmat.shape[0]
+  nuni = nrow - neq_rows  # unilateral rows (contacts + limits)
 
-  # active rows: violated constraints (normal rows drive their friction rows)
+  # active rows: violated constraints (normal rows drive their friction
+  # rows); equality rows are always active (bilateral soft constraints)
+  eq_active = jnp.ones((neq_rows,), bool)
   if have_contacts:
     con_active = jnp.repeat(d.contact.dist < 0, 3)
-    lim_active = (pos[3 * ncon:] < 0) if nlim else jnp.zeros((0,), bool)
-    active = jnp.concatenate([con_active, lim_active])
+    lim_active = (pos[3 * ncon:nuni] < 0) if nlim else jnp.zeros((0,), bool)
+    active = jnp.concatenate([con_active, lim_active, eq_active])
     # friction rows have no positional error
     norm_row = jnp.concatenate([
         jnp.tile(jnp.asarray([True, False, False]), ncon),
-        jnp.ones((nlim,), bool)])
+        jnp.ones((nlim + neq_rows,), bool)])
   else:
-    active = pos < 0
+    active = jnp.concatenate([pos[:nuni] < 0, eq_active])
     norm_row = jnp.ones((nrow,), bool)
+  # bilateral rows keep the full signed position error
+  bilat = jnp.concatenate([jnp.zeros((nuni,), bool),
+                           jnp.ones((neq_rows,), bool)])
 
   imp = _impedance(pos, solimp)
   k, b = _kb(solref, solimp[..., 1])
   vel = jmat @ d.qvel
-  pos_term = jnp.where(norm_row, jnp.minimum(pos, 0.0), 0.0)
+  pos_term = jnp.where(
+      bilat, pos, jnp.where(norm_row, jnp.minimum(pos, 0.0), 0.0))
   aref = -imp * (k * pos_term + b * vel)
 
   # Delassus operator A = J M⁻¹ Jᵀ and smooth residual a0 = J qacc_smooth
@@ -209,10 +332,12 @@ def solve(m: Model, d: Data, qacc_smooth: jax.Array,
       cap = d.contact.friction * fn
       scale = jnp.where(tnorm > cap, cap / jnp.maximum(tnorm, 1e-12), 1.0)
       fc = jnp.concatenate([fn[:, None], ft * scale[:, None]], axis=-1)
-      fl = jnp.maximum(f[3 * ncon:], 0.0)
-      f = jnp.concatenate([fc.reshape(-1), fl])
+      fl = jnp.maximum(f[3 * ncon:nuni], 0.0)
+      f = jnp.concatenate([fc.reshape(-1), fl, f[nuni:]])
     else:
-      f = jnp.maximum(f, 0.0)
+      # unilateral rows clamp to the nonnegative orthant; bilateral
+      # (equality) rows are unconstrained in sign
+      f = jnp.where(bilat, f, jnp.maximum(f, 0.0))
     return jnp.where(active, f, 0.0)
 
   # Accelerated projected gradient (APGD, the standard parallel scheme for

@@ -172,6 +172,10 @@ def extract(m: Model) -> TileModel:
       raise UnsupportedModel(f"joint type {jt}")
   if m.na != 0:
     raise UnsupportedModel("stateful actuators")
+  if m.ntendon or m.neq:
+    # tendons/equality run on the general XLA path (solver row classes not
+    # mirrored in the tile kernel)
+    raise UnsupportedModel("tendons/equality constraints")
   # mocap bodies: allowed as rollout-constant poses (kernel operands) —
   # markers/goals only; they may not collide or carry joints
   mocap_bodies = {b for b in range(m.nbody) if m.body_mocapid[b] >= 0}

@@ -16,7 +16,7 @@ SLIDE/HINGE; spatial 6-vectors [angular; linear] about the world origin.
 from __future__ import annotations
 
 import enum
-from typing import Any, Tuple
+from typing import Any, Optional, Tuple
 
 from flax import struct
 import jax
@@ -58,6 +58,13 @@ class TrnType(enum.IntEnum):
   JOINT = 0
   SITE = 1  # thrust-style transmission (e.g. quadrotor rotors)
   TENDON = 2
+
+
+class EqType(enum.IntEnum):
+  """Equality-constraint kinds (MuJoCo mjtEq values)."""
+  CONNECT = 0  # 3-dof ball joint between bodies
+  WELD = 1     # 6-dof pose lock between bodies
+  JOINT = 2    # polynomial coupling of two scalar joints
 
 
 class ObjType(enum.IntEnum):
@@ -237,6 +244,46 @@ class Model:
   actuator_dynprm: jax.Array  # (nu, 3)
   actuator_actrange: jax.Array  # (nu, 2)
 
+  # ------- fixed tendons (trailing, defaulted: absent on older models) ------
+  # MuJoCo feature set the reference assumes (SURVEY §1 L0); fixed tendons
+  # couple scalar joints with constant coefficients — the Jacobian is a
+  # compile-time constant row. Spatial tendons are guarded in io.py.
+  ntendon: int = struct.field(pytree_node=False, default=0)
+  # per tendon: ((jntid, coef), ...)
+  tendon_joints: Tuple[Tuple[Tuple[int, float], ...], ...] = struct.field(
+      pytree_node=False, default=())
+  tendon_limited: Tuple[bool, ...] = struct.field(pytree_node=False,
+                                                  default=())
+  tendon_names: Tuple[str, ...] = struct.field(pytree_node=False, default=())
+  tendon_range: Optional[jax.Array] = None  # (ntendon, 2)
+  tendon_stiffness: Optional[jax.Array] = None  # (ntendon,)
+  tendon_damping: Optional[jax.Array] = None  # (ntendon,)
+  tendon_lengthspring: Optional[jax.Array] = None  # (ntendon, 2)
+  tendon_solref_lim: Optional[jax.Array] = None  # (ntendon, 2)
+  tendon_solimp_lim: Optional[jax.Array] = None  # (ntendon, 5)
+  tendon_margin: Optional[jax.Array] = None  # (ntendon,)
+
+  # ------- convex mesh collision geometry -----------------------------------
+  # Hull-vertex clouds + deduped face normals per mesh asset. Support
+  # queries over a vertex cloud equal the convex-hull support exactly, so
+  # the cloud IS the collision hull; large meshes are reduced at load to
+  # their extreme vertices over a fixed direction set (bounded error).
+  # Padding repeats the first vertex/normal (keeps max-reductions exact).
+  nmesh: int = struct.field(pytree_node=False, default=0)
+  mesh_names: Tuple[str, ...] = struct.field(pytree_node=False, default=())
+  mesh_hullvert: Optional[jax.Array] = None  # (nmesh, VCAP, 3)
+  mesh_facenorm: Optional[jax.Array] = None  # (nmesh, NCAP, 3)
+
+  # ------- equality constraints: connect / weld / joint ---------------------
+  neq: int = struct.field(pytree_node=False, default=0)
+  eq_type: Tuple[int, ...] = struct.field(pytree_node=False, default=())
+  eq_obj1id: Tuple[int, ...] = struct.field(pytree_node=False, default=())
+  eq_obj2id: Tuple[int, ...] = struct.field(pytree_node=False, default=())
+  eq_active0: Tuple[bool, ...] = struct.field(pytree_node=False, default=())
+  eq_data: Optional[jax.Array] = None  # (neq, 11) MuJoCo layout
+  eq_solref: Optional[jax.Array] = None  # (neq, 2)
+  eq_solimp: Optional[jax.Array] = None  # (neq, 5)
+
   # --------------------------- name lookups --------------------------------
   def _name_id(self, names: Tuple[str, ...], name: str, kind: str) -> int:
     try:
@@ -255,6 +302,9 @@ class Model:
 
   def site(self, name: str) -> int:
     return self._name_id(self.site_names, name, "site")
+
+  def tendon(self, name: str) -> int:
+    return self._name_id(self.tendon_names, name, "tendon")
 
   def sensor(self, name: str) -> int:
     return self._name_id(self.sensor_names, name, "sensor")
