@@ -238,6 +238,135 @@ _DISPATCH = {
 }
 
 
+# ---------------------------------------------------------------------------
+# convex mesh narrowphase: support-function SAT
+#
+# Each mesh is a hull-vertex cloud (support-exact for the convex hull) plus
+# deduped face normals (io.py). Candidate separating axes = face normals of
+# both hulls + the center-difference direction + a small fixed sphere set
+# (bounds the error of the skipped edge-edge axes). For every axis a
+# (oriented hull1 → hull2): separation s(a) = lo2(a) − hi1(a); contact
+# distance = max_a s(a) (negative = penetration, the least-penetrating
+# axis — standard SAT), normal = argmax axis, and the manifold is the k
+# deepest hull2 vertices along −normal with their individual face gaps.
+# Branch-free, static shapes, smooth in the vertices — built for soft-
+# contact MPC, not exact impulse resolution (MuJoCo uses libccd here).
+# ---------------------------------------------------------------------------
+
+_MESH_EXTRA_AXES = 13  # half-sphere fixed axes appended to the SAT set
+
+
+def _mesh_axes_fixed(dtype):
+  import numpy as np
+  i = np.arange(_MESH_EXTRA_AXES, dtype=np.float64)
+  phi = np.pi * (3.0 - np.sqrt(5.0)) * i
+  z = (i + 0.5) / _MESH_EXTRA_AXES  # upper half-sphere (axes are signless)
+  r = np.sqrt(np.maximum(1.0 - z * z, 0.0))
+  return jnp.asarray(
+      np.stack([r * np.cos(phi), r * np.sin(phi), z], axis=1), dtype=dtype)
+
+
+def _mesh_world_verts(m: Model, d, g: int):
+  """(VCAP, 3) world-frame hull vertices + (NCAP, 3) world face normals."""
+  mid = m.geom_dataid[g]
+  v = m.mesh_hullvert[mid] @ d.geom_xmat[g].T + d.geom_xpos[g]
+  n = m.mesh_facenorm[mid] @ d.geom_xmat[g].T
+  return v, n
+
+
+def _sat_contacts(v1, axes1, v2, axes2, c1, c2, k: int, inflate1=0.0):
+  """SAT contacts between vertex clouds v1, v2 (k deepest points of v2).
+
+  inflate1: radius inflation of hull1 (sphere/capsule support bodies).
+  Returns list of (dist, pos, normal) with normal oriented hull1 → hull2.
+  """
+  dtype = v1.dtype
+  cdir = c2 - c1
+  cdir = cdir / jnp.maximum(jnp.linalg.norm(cdir), 1e-9)
+  axes = jnp.concatenate(
+      [axes1, axes2, cdir[None], _mesh_axes_fixed(dtype)])  # (K, 3)
+  # orient every axis hull1 → hull2
+  sgn = jnp.where(axes @ cdir >= 0, 1.0, -1.0)
+  axes = axes * sgn[:, None]
+  p1 = v1 @ axes.T  # (V1, K)
+  p2 = v2 @ axes.T  # (V2, K)
+  sep = jnp.min(p2, axis=0) - jnp.max(p1, axis=0) - inflate1  # (K,)
+  best = jnp.argmax(sep)
+  axis = axes[best]
+  hi1 = jnp.max(v1 @ axis) + inflate1
+  # k deepest vertices of hull2 along the contact normal
+  depth2 = v2 @ axis  # (V2,)
+  _, idx = jax.lax.top_k(-depth2, k)
+  out = []
+  for j in range(k):
+    p = v2[idx[j]]
+    dist = depth2[idx[j]] - hi1
+    out.append((dist, p - 0.5 * jnp.minimum(dist, 0.0) * axis, axis))
+  return out
+
+
+def _plane_mesh(m, d, g1, g2):
+  """Mesh on plane: the 4 deepest hull vertices below the surface."""
+  pp, pm = d.geom_xpos[g1], d.geom_xmat[g1]
+  n = pm[:, 2]
+  v, _ = _mesh_world_verts(m, d, g2)
+  h = (v - pp) @ n  # (VCAP,) height above plane
+  _, idx = jax.lax.top_k(-h, 4)
+  return [(h[idx[j]], v[idx[j]] - 0.5 * jnp.minimum(h[idx[j]], 0.0) * n, n)
+          for j in range(4)]
+
+
+def _sphere_mesh(m, d, g1, g2):
+  c = d.geom_xpos[g1]
+  r = m.geom_size[g1, 0]
+  v2, n2 = _mesh_world_verts(m, d, g2)
+  return _sat_contacts(c[None], jnp.zeros((0, 3), c.dtype), v2, n2,
+                       c, jnp.mean(v2, axis=0), k=1, inflate1=r)
+
+
+def _capsule_mesh(m, d, g1, g2):
+  p, mat = d.geom_xpos[g1], d.geom_xmat[g1]
+  r, hl = m.geom_size[g1, 0], m.geom_size[g1, 1]
+  axis = mat[:, 2]
+  ends = jnp.stack([p + hl * axis, p - hl * axis])
+  v2, n2 = _mesh_world_verts(m, d, g2)
+  return _sat_contacts(ends, jnp.zeros((0, 3), p.dtype), v2, n2,
+                       p, jnp.mean(v2, axis=0), k=2, inflate1=r)
+
+
+def _box_mesh(m, d, g1, g2):
+  p, mat = d.geom_xpos[g1], d.geom_xmat[g1]
+  s = m.geom_size[g1]
+  import numpy as np
+  corners_l = jnp.asarray(
+      np.array([[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1)
+                for sz in (-1, 1)], dtype=np.float64), dtype=p.dtype)
+  corners = (corners_l * s) @ mat.T + p
+  v2, n2 = _mesh_world_verts(m, d, g2)
+  return _sat_contacts(corners, mat.T, v2, n2, p, jnp.mean(v2, axis=0), k=4)
+
+
+def _mesh_mesh(m, d, g1, g2):
+  v1, n1 = _mesh_world_verts(m, d, g1)
+  v2, n2 = _mesh_world_verts(m, d, g2)
+  return _sat_contacts(v1, n1, v2, n2, jnp.mean(v1, axis=0),
+                       jnp.mean(v2, axis=0), k=4)
+
+
+_MESH_DISPATCH = {
+    GeomType.PLANE: _plane_mesh,
+    GeomType.SPHERE: _sphere_mesh,
+    GeomType.CAPSULE: _capsule_mesh,
+    GeomType.BOX: _box_mesh,
+    GeomType.MESH: _mesh_mesh,
+}
+
+_MESH_COUNTS = {
+    GeomType.PLANE: 4, GeomType.SPHERE: 1, GeomType.CAPSULE: 2,
+    GeomType.BOX: 4, GeomType.MESH: 4,
+}
+
+
 def npoints(m: Model) -> int:
   """Total static contact-point count for the model's candidate pairs."""
   slots = pair_slots(m)
@@ -329,6 +458,8 @@ def pair_slots(m: Model):
       count = 2
     elif t1 == GeomType.CAPSULE and t2 == GeomType.BOX:
       count = 2
+    elif t2 == GeomType.MESH:
+      count = _MESH_COUNTS[t1]
     else:
       count = 1
     slots.append((start, count))
@@ -357,7 +488,9 @@ def collide(m: Model, d: Data) -> Data:
       [], [], [], [], [], [], [], [])
   for g1, g2 in m.collision_pairs:
     t1, t2 = GeomType(m.geom_type[g1]), GeomType(m.geom_type[g2])
-    if t1 == GeomType.HFIELD:
+    if t2 == GeomType.MESH:
+      pts = _MESH_DISPATCH[t1](m, d, g1, g2)
+    elif t1 == GeomType.HFIELD:
       pts = _HFIELD_DISPATCH[t2](
           m, d.geom_xpos[g1], d.geom_xmat[g1], d.geom_xpos[g2],
           d.geom_xmat[g2], m.geom_size[g2])
