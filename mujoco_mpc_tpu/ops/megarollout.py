@@ -123,21 +123,24 @@ def _rollout_body(tm, task, horizon, qpos0, qvel0, action_fn, b, dtype,
   qpos = bcast(qpos0, tm.nq)
   qvel = bcast(qvel0, tm.nv)
   total0 = qpos[0] * 0.0  # input-derived zero (Pallas constant rule)
+  # APGD warm-start carry: zeros = cold first step (solver.py semantics)
+  lam0 = jnp.zeros((max(tm.nrow, 1),) + b, dtype=dtype) + total0[None]
 
   def body(i, carry):
-    qpos, qvel, total = carry
+    qpos, qvel, lam, total = carry
     u = action_fn(i)
     qpos, qvel, view = tilestep.step_tb(
         tm, qpos, qvel, u, mocap_pos=mocap_pos, mocap_quat=mocap_quat,
-        userdata=userdata)
+        userdata=userdata, efc_lambda=lam)
     view.time = t0 + (i + 1) * tm.timestep
     res = task.residual(task.model, view, res_params)
     scale = (task.weight_mod(task.model, view, res_params)
              if task.weight_mod is not None else None)
     c = cost_value_t(task.spec, weights, norm_params, risk, res, scale)
-    return qpos, qvel, total + c
+    return qpos, qvel, view.efc_lambda, total + c
 
-  _, _, total = jax.lax.fori_loop(0, horizon, body, (qpos, qvel, total0))
+  _, _, _, total = jax.lax.fori_loop(
+      0, horizon, body, (qpos, qvel, lam0, total0))
   total = total / horizon
   return jnp.where(jnp.isfinite(total), total, MAX_RETURN)
 

@@ -74,19 +74,22 @@ def rollout(task: task_base.Task, d0: Data, policy_fn: PolicyFn,
     # while-loop each step — measured 41% of device time on the walker
     # planner iteration. Derived fields are recomputed in-step anyway.
     def body(carry, _):
-      qpos, qvel, act, t = carry
-      d = d0.replace(qpos=qpos, qvel=qvel, act=act, time=t)
+      qpos, qvel, act, t, lam = carry
+      # lam: APGD warm start — previous step's dual forces (solver.py)
+      d = d0.replace(qpos=qpos, qvel=qvel, act=act, time=t,
+                     efc_lambda=lam)
       action = policy_fn(t, d)
       d = _phys_step(m, d.replace(ctrl=action))
       res = task.residual(m, d, tp.residual_params)
       cost = task_base.cost_value(task.spec, tp, res, _scale(task, m, d, tp))
-      return (d.qpos, d.qvel, d.act, d.time), (cost, d.qpos, res)
+      return ((d.qpos, d.qvel, d.act, d.time, d.efc_lambda),
+              (cost, d.qpos, res))
 
     carry, (costs, qpos, residuals) = jax.lax.scan(
-        body, (d0.qpos, d0.qvel, d0.act, d0.time), None, length=horizon,
-        unroll=unroll)
+        body, (d0.qpos, d0.qvel, d0.act, d0.time, d0.efc_lambda), None,
+        length=horizon, unroll=unroll)
     final = d0.replace(qpos=carry[0], qvel=carry[1], act=carry[2],
-                       time=carry[3])
+                       time=carry[3], efc_lambda=carry[4])
 
   # divergence guard: any nan/inf in the trajectory → huge return
   costs = jnp.nan_to_num(costs, nan=MAX_RETURN, posinf=MAX_RETURN,
@@ -122,23 +125,23 @@ def noisy_rollout(task: task_base.Task, d0: Data, policy_fn: PolicyFn,
        jnp.broadcast_to(m.body_mass[:, None], (m.nbody, 3))], axis=-1)
 
   def body(carry, key):
-    qpos, qvel, act, t, ou = carry
+    qpos, qvel, act, t, ou, lam = carry
     eps = jax.random.normal(key, ou.shape, dtype=ou.dtype)
     ou = (1.0 - xfrc_rate) * ou + jnp.sqrt(
         xfrc_rate * (2 - xfrc_rate)) * xfrc_std * mass_scale * eps
-    d = d0.replace(qpos=qpos, qvel=qvel, act=act, time=t)
+    d = d0.replace(qpos=qpos, qvel=qvel, act=act, time=t, efc_lambda=lam)
     action = policy_fn(t, d)
     d = _phys_step(m, d.replace(ctrl=action, xfrc_applied=ou))
     res = task.residual(m, d, tp.residual_params)
     cost = task_base.cost_value(task.spec, tp, res, _scale(task, m, d, tp))
-    return (d.qpos, d.qvel, d.act, d.time, ou), cost
+    return (d.qpos, d.qvel, d.act, d.time, ou, d.efc_lambda), cost
 
   keys = jax.random.split(rng, horizon)
   # inherit d0's varying-manual-axes type so the scan carry is consistent
   # when this runs inside a shard_map shard (see parallel/mesh.py)
   ou0 = jnp.zeros((m.nbody, 6), dtype=d0.qpos.dtype) + 0.0 * d0.qpos[0]
   _, costs = jax.lax.scan(
-      body, (d0.qpos, d0.qvel, d0.act, d0.time, ou0), keys)
+      body, (d0.qpos, d0.qvel, d0.act, d0.time, ou0, d0.efc_lambda), keys)
   costs = jnp.nan_to_num(costs, nan=MAX_RETURN, posinf=MAX_RETURN,
                          neginf=MAX_RETURN)
   return jnp.mean(costs)

@@ -528,6 +528,7 @@ def from_mjmodel(mj, dtype=jnp.float32) -> types.Model:
 def make_data(m: types.Model, dtype=None) -> types.Data:
   """Fresh Data at the model reference configuration qpos0."""
   from mujoco_mpc_tpu.physics import collision
+  from mujoco_mpc_tpu.physics import solver as solver_mod
 
   dtype = dtype or m.qpos0.dtype
   z = lambda *shape: jnp.zeros(shape, dtype=dtype)
@@ -591,4 +592,5 @@ def make_data(m: types.Model, dtype=None) -> types.Data:
       qacc=z(m.nv),
       contact=contact,
       sensordata=z(m.nsensordata),
+      efc_lambda=z(max(solver_mod.nrow_static(m), 1)),
   )

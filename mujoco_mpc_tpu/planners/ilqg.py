@@ -227,20 +227,22 @@ class ILQGPlanner:
     from mujoco_mpc_tpu.tasks.base import cost_value
 
     def body(carry, inp):
-      qpos, qvel, act, t = carry  # slim carry: full Data copies are slow
+      qpos, qvel, act, t, lam = carry  # slim carry + APGD warm start
       x_ref, u_ref, gain, kf = inp
       dx = self._tangent(m, jnp.concatenate([qpos, qvel]), x_ref)
       u = u_ref + alpha * kf + gain @ dx
       u = jnp.where(m.actuator_ctrllimited, jnp.clip(u, lo, hi), u)
-      d = data.replace(qpos=qpos, qvel=qvel, act=act, time=t, ctrl=u)
+      d = data.replace(qpos=qpos, qvel=qvel, act=act, time=t, ctrl=u,
+                       efc_lambda=lam)
       d = phys_step(m, d)
       res = task.residual(m, d, tp.residual_params)
       c = cost_value(task.spec, tp, res)
-      return ((d.qpos, d.qvel, d.act, d.time),
+      return ((d.qpos, d.qvel, d.act, d.time, d.efc_lambda),
               (c, jnp.concatenate([d.qpos, d.qvel]), u))
 
     _, (costs, xs, us) = jax.lax.scan(
-        body, (data.qpos, data.qvel, data.act, data.time),
+        body, (data.qpos, data.qvel, data.act, data.time,
+               data.efc_lambda),
         (xs_ref[:-1], us_ref, gains, k_ff))
     costs = jnp.nan_to_num(costs, nan=MAX_RETURN, posinf=MAX_RETURN,
                            neginf=MAX_RETURN)
