@@ -33,7 +33,7 @@ _FPS = 30.0
 _MARKERS = ("pelvis", "torso", "right_foot", "left_foot",
             "right_lower_arm", "left_lower_arm")
 _NM = len(_MARKERS)
-MODE_NAMES = ("Walk", "Run")
+# MODE_NAMES defined below: procedural Walk/Run + any recorded clip files
 
 
 def _synth_clip(speed, cadence, step_len, length):
@@ -62,8 +62,45 @@ def _synth_clip(speed, cadence, step_len, length):
   return clip
 
 
-_CLIPS = (_synth_clip(1.0, 1.4, 0.5, 180),   # Walk
-          _synth_clip(2.5, 2.6, 0.9, 120))   # Run
+def _load_clip_files():
+  """Recorded marker clips from tasks/models/assets/clips/*.npz.
+
+  Clip file format (the shippable analogue of the reference's CMU
+  keyframe data, tracking.cc:28-141): npz with `markers` (L, nmarker, 3)
+  world positions in _MARKERS order, `fps` scalar, and optional `name`.
+  Clips at other rates are linearly resampled to 30 fps at load.
+  Recorded with tools/record_clip.py (from a driven simulation)."""
+  import glob
+  import os
+
+  clip_dir = os.path.join(os.path.dirname(__file__), "models", "assets",
+                          "clips")
+  out = []
+  for path in sorted(glob.glob(os.path.join(clip_dir, "*.npz"))):
+    z = np.load(path, allow_pickle=False)
+    markers = np.asarray(z["markers"], dtype=np.float64)
+    if markers.ndim != 3 or markers.shape[1] != _NM:
+      continue  # wrong marker set
+    fps = float(z["fps"]) if "fps" in z else _FPS
+    if abs(fps - _FPS) > 1e-6:  # resample to 30 fps
+      t_src = np.arange(markers.shape[0]) / fps
+      t_dst = np.arange(int(t_src[-1] * _FPS) + 1) / _FPS
+      res = np.empty((len(t_dst),) + markers.shape[1:])
+      for k in range(_NM):
+        for c in range(3):
+          res[:, k, c] = np.interp(t_dst, t_src, markers[:, k, c])
+      markers = res
+    name = str(z["name"]) if "name" in z else \
+        os.path.splitext(os.path.basename(path))[0]
+    out.append((name.title(), markers))
+  return out
+
+
+_FILE_CLIPS = _load_clip_files()
+_CLIPS = tuple([_synth_clip(1.0, 1.4, 0.5, 180),   # Walk (procedural)
+                _synth_clip(2.5, 2.6, 0.9, 120)] +  # Run (procedural)
+               [c for _, c in _FILE_CLIPS])
+MODE_NAMES = tuple(["Walk", "Run"] + [n for n, _ in _FILE_CLIPS])
 _MAXLEN = max(c.shape[0] for c in _CLIPS)
 # pad to a common length so clip selection is a traced gather
 _CLIP_ARR = jnp.asarray(np.stack([
