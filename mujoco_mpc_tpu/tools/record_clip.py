@@ -27,8 +27,11 @@ def main():
   p.add_argument("--fps", type=float, default=30.0)
   p.add_argument("--name", default="strider")
   p.add_argument("--out", required=True)
+  p.add_argument("--candidates", type=int, default=0)
   p.add_argument("--platform", default="")
   args = p.parse_args()
+
+  import dataclasses
 
   import jax
   if args.platform:
@@ -40,6 +43,14 @@ def main():
   from mujoco_mpc_tpu.tasks import humanoid_track
 
   agent = Agent(args.task)
+  if args.candidates:
+    cfg = dataclasses.replace(agent.planner.config,
+                              num_trajectories=args.candidates)
+    agent.planner = type(agent.planner)(cfg)
+    agent.policy = agent.planner.init(agent.task)
+    agent.previous_policy = agent.policy
+    agent._jit_opt = jax.jit(agent.planner.optimize)
+    agent._jit_act = jax.jit(agent.planner.action)
   agent.reset(keyframe="home")
   m = agent.sim_task.model
   marker_ids = [m.body(n) for n in humanoid_track._MARKERS]

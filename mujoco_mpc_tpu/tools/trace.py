@@ -20,10 +20,13 @@ import numpy as np
 class TraceRecorder:
   """Record an agent episode for later visualization/analysis."""
 
-  def __init__(self, agent):
+  def __init__(self, agent, record_terms: bool = True):
     self.agent = agent
+    self.record_terms = record_terms
     self.times, self.qpos, self.qvel, self.ctrl, self.cost = (
         [], [], [], [], [])
+    self.terms = []  # per-step cost-term values (GUI cost figure)
+    self.best_returns = []  # planner improvement figure
 
   def record(self):
     st = self.agent.get_state()
@@ -32,6 +35,12 @@ class TraceRecorder:
     self.qvel.append(st["qvel"])
     self.ctrl.append(np.asarray(self.agent.data.ctrl))
     self.cost.append(self.agent.total_cost())
+    if self.record_terms:
+      t = self.agent.cost_terms()
+      self.terms.append([t[k] for k in self.agent.task.spec.names])
+    info = self.agent.last_info
+    self.best_returns.append(
+        float(info.best_return) if info is not None else np.nan)
 
   def save(self, path: str) -> str:
     path = os.path.abspath(path)
@@ -42,9 +51,12 @@ class TraceRecorder:
         qvel=np.asarray(self.qvel),
         ctrl=np.asarray(self.ctrl),
         cost=np.asarray(self.cost),
+        terms=np.asarray(self.terms) if self.terms else np.zeros((0, 0)),
+        best_returns=np.asarray(self.best_returns),
         meta=json.dumps({
             "task": self.agent.task.name,
             "planner": self.agent.planner_name,
+            "term_names": list(self.agent.task.spec.names),
         }))
     return path + (".npz" if not path.endswith(".npz") else "")
 

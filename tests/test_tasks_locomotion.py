@@ -32,7 +32,8 @@ def test_quadruped_residual_structure():
   r = task.residual(task.model, d, task.params.residual_params)
   assert r.shape == (task.spec.nresidual,) == (42,)
   assert bool(jnp.all(jnp.isfinite(r)))
-  assert task.mode_names == ("Quadruped", "Biped", "Walk", "Scramble")
+  assert task.mode_names == ("Quadruped", "Biped", "Walk", "Scramble",
+                             "Flip")
 
 
 def test_quadruped_auto_gait_switches_with_speed():
@@ -225,3 +226,90 @@ def test_mode_register_roundtrip():
   d = task.set_mode(d, 2)
   assert int(task.get_mode(d)) == 2
   assert task_base.MODE_SLOT == 15
+
+
+# ------------------------------------------------------------ quadruped flip
+def test_flip_choreography_curves():
+  """FlipHeight/FlipQuat closed forms (reference quadruped.cc:682-720):
+  continuous, start/end at stand height, monotonic 0→2π rotation."""
+  ts = np.linspace(0.0, Q._FLIP_TOTAL_TIME, 400)
+  h = np.asarray(jax.vmap(Q._flip_height)(jnp.asarray(ts)))
+  a = np.asarray(jax.vmap(Q._flip_angle)(jnp.asarray(ts)))
+  assert abs(h[0] - Q._HEIGHT_QUADRUPED) < 1e-6
+  assert abs(h[-1] - Q._HEIGHT_QUADRUPED) < 5e-2  # land decel ends at stand
+  assert h.max() > 0.9 * Q._MAX_HEIGHT  # apex reaches the leap target
+  assert h.min() > 0.9 * Q._CROUCH_HEIGHT - 1e-6  # crouch floor
+  assert abs(a[0]) < 1e-6 and abs(a[-1] - 2 * np.pi) < 5e-2
+  # monotonic rotation (tiny end-of-land decel overshoot allowed — the
+  # reference's closed form has the same ±0.01 rad wiggle at touchdown)
+  assert np.all(np.diff(a) >= -0.01)
+  # piecewise segments are continuous (no jumps > small step bound)
+  assert np.max(np.abs(np.diff(h))) < 0.05
+  assert np.max(np.abs(np.diff(a))) < 0.15
+
+
+def test_flip_mode_fsm_and_residual():
+  """Entering Flip saves orientation/ground/start-time in userdata; the
+  residual tracks the choreography; the FSM exits back to Quadruped after
+  the total flip time (reference quadruped.cc:350-390)."""
+  task = registry.get_task("Quadruped Flat")
+  d = _home_data(task)
+  d = task.set_mode(d, Q.MODE_FLIP)
+  d = d.replace(time=d.time + 0.01)
+  d2 = task.run_transition(d)
+  u = np.asarray(d2.userdata)
+  assert int(u[16]) == Q.MODE_FLIP
+  assert abs(u[8] - float(d.time)) < 1e-6  # mode start time saved
+  np.testing.assert_allclose(u[17:21], np.asarray(d.xquat[
+      task.model.body("trunk")]), atol=1e-6)  # orientation saved
+
+  # residual at flip start: upright tracks q_start (≈0), height ≈ stand
+  r = task.residual(task.model, d2, task.params.residual_params)
+  assert bool(jnp.all(jnp.isfinite(r)))
+  np.testing.assert_allclose(np.asarray(r[:3]), 0.0, atol=0.05)
+
+  # weight_mod: flip overrides (Position/Gait/Balance → 0)
+  w = np.asarray(task.weight_mod(task.model, d2,
+                                 task.params.residual_params))
+  assert w[2] == 0.0 and w[3] == 0.0 and w[4] == 0.0
+  assert w[1] > 1.0  # height dominates
+
+  # after the choreography completes the FSM returns to Quadruped
+  d3 = d2.replace(time=d2.time + Q._FLIP_TOTAL_TIME + 0.1)
+  d4 = task.run_transition(d3)
+  assert int(np.asarray(d4.userdata)[16]) == Q.MODE_QUADRUPED
+
+
+def test_flip_only_from_quadruped():
+  """Forbidden transition: Biped → Flip is rejected (quadruped.cc:240-248
+  gating extended to the stateful modes)."""
+  task = registry.get_task("Quadruped Flat")
+  d = _home_data(task)
+  d = task.set_mode(d, Q.MODE_BIPED)
+  d = d.replace(time=d.time + 0.01)
+  d = task.run_transition(d)
+  assert int(np.asarray(d.userdata)[16]) == Q.MODE_BIPED
+  d = task.set_mode(d, Q.MODE_FLIP)
+  d = d.replace(time=d.time + 0.01)
+  d = task.run_transition(d)
+  assert int(np.asarray(d.userdata)[16]) == Q.MODE_QUADRUPED
+
+
+def test_humanoid_track_recorded_clip():
+  """The recorded-from-sim marker clip (assets/clips/strider.npz, made by
+  tools/record_clip.py) loads as a Track mode with finite residuals —
+  the shippable analogue of the reference's CMU keyframe data
+  (tracking.cc:28-141)."""
+  task = registry.get_task("Humanoid Track")
+  assert "Strider" in task.mode_names
+  d = phys_io.make_data(task.model)
+  d = task.set_mode(d, task.mode_names.index("Strider"))
+  d = task.run_transition(d)
+  d = phys_forward(task.model, d)
+  r = task.residual(task.model, d, task.params.residual_params)
+  assert bool(jnp.all(jnp.isfinite(r)))
+  # the clip's average marker stays within the walk envelope
+  from mujoco_mpc_tpu.tasks import humanoid_track as HT
+  clip = HT._CLIPS[task.mode_names.index("Strider")]
+  assert clip.shape[1] == HT._NM
+  assert clip[:, 0, 2].min() > 0.4  # pelvis never below 0.4 m (no fall)
