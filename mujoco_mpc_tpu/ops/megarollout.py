@@ -246,10 +246,13 @@ class MegaRollout:
 
   # ------------------------------------------------------------------ pallas
   def returns(self, qpos0, qvel0, actions, params: TaskParams, t0,
-              mocap_pos=None, mocap_quat=None, userdata=None):
+              mocap_pos=None, mocap_quat=None, userdata=None, vma=None):
     """Candidate returns (N,) for actions (N, T, nu); qpos0/qvel0 (nq,/nv,).
 
     N must be a multiple of 128. One grid program per `block` candidates.
+    `vma`: mesh axis names the output varies over — required when the
+    kernel runs inside a VMA-checked shard_map (pallas_call cannot infer
+    output vma; jax insists it be explicit on the out ShapeDtypeStruct).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -325,9 +328,14 @@ class MegaRollout:
     else:
       act_spec = spec((1, T, tm.nu) + bshape, blocked_first=True)
       scratch_shapes = []
+    if vma is None:
+      out_sds = jax.ShapeDtypeStruct((grid,) + bshape, f32)
+    else:
+      out_sds = jax.ShapeDtypeStruct((grid,) + bshape, f32,
+                                     vma=frozenset(vma))
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((grid,) + bshape, f32),
+        out_shape=out_sds,
         grid=(grid,),
         in_specs=[
             spec((tm.nq, 1)),

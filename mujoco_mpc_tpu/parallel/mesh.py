@@ -22,7 +22,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from mujoco_mpc_tpu.ops import rollout as rollout_mod
 from mujoco_mpc_tpu.ops import spline
@@ -31,8 +31,7 @@ from mujoco_mpc_tpu.planners.cross_entropy import (CEMConfig, CEMPolicy,
                                                    CrossEntropyPlanner)
 from mujoco_mpc_tpu.planners.robust import RobustConfig, RobustPlanner
 from mujoco_mpc_tpu.planners.sampling import (SamplingConfig, SamplingPlanner,
-                                              SamplingPolicy,
-                                              _STD2_PROPORTION)
+                                              SamplingPolicy)
 from mujoco_mpc_tpu.physics.types import Data
 from mujoco_mpc_tpu.tasks.base import Task, TaskParams
 
@@ -57,18 +56,6 @@ def _vary(data, axis=AXIS):
   return jax.tree.map(lambda x: jax.lax.pcast(x, axis, to="varying"), data)
 
 
-def _resample_nominal(cfg, m, policy, data):
-  k = cfg.spline_points
-  dt = m.opt.timestep
-  horizon_time = (cfg.horizon - 1) * dt
-  denom = k if cfg.interp == spline.Interp.ZERO else k - 1
-  new_times = data.time + jnp.arange(k, dtype=policy.times.dtype) * (
-      horizon_time / jnp.maximum(denom, 1))
-  nominal = spline.resample(policy.times, policy.values, new_times,
-                            cfg.interp)
-  return new_times, nominal
-
-
 def _shard_mega(planner, per_dev: int):
   """The planner's whole-rollout megakernel for per-shard evaluation.
 
@@ -85,24 +72,67 @@ def _shard_mega(planner, per_dev: int):
   return mega, use_pallas
 
 
-def _mega_shard_returns(mega, use_pallas, task, cfg, data, new_times, cands,
-                        params):
-  """Per-shard candidate returns through the megakernel (inside shard_map).
+def _sharded_returns(planner, mesh, task, cfg, data, new_times, cands,
+                     params):
+  """Candidate returns (N,) with the candidate axis sharded over `mesh`.
 
-  All operands are marked axis-varying: the replicated start state feeds a
-  per-shard kernel whose outputs are varying (VMA-checked shard_map)."""
+  Candidates arrive from the SAME jit-level generation code as the
+  unsharded planner (identical RNG stream — GSPMD shards the generation
+  work), so only the rollout evaluation runs inside shard_map. Keeping the
+  shard_map region down to the rollout kernel matters for latency: a
+  planner iteration is a ~3 ms call, and wrapping the cheap noise/spline
+  ops in shard_map measurably inflated it (~25%) versus letting GSPMD
+  partition them.
+  """
   m = task.model
-  ts = data.time + jnp.arange(
-      cfg.horizon, dtype=cands.dtype) * m.opt.timestep
-  actions = jax.vmap(
-      lambda v: spline.sample_many(new_times, v, ts, cfg.interp))(cands)
+  n = cands.shape[0]
+  per_dev = n // mesh.devices.size
+  cands = jax.lax.with_sharding_constraint(
+      cands, NamedSharding(mesh, P(AXIS)))
+  mega, use_pallas = _shard_mega(planner, per_dev)
   p = params if params is not None else task.params
-  qp, qv, mp, mq, ud, t0, p = _vary(
-      (data.qpos, data.qvel, data.mocap_pos, data.mocap_quat,
-       data.userdata, data.time, p))
-  fn = mega.returns if use_pallas else mega.returns_xla
-  return fn(qp, qv, actions, p, t0, mocap_pos=mp, mocap_quat=mq,
-            userdata=ud)
+
+  if mega is not None:
+    # fast path: whole-rollout megakernel per shard (Pallas on TPU,
+    # tile-XLA elsewhere). Actions are spline-sampled at jit level; the
+    # replicated start state is pcast to axis-varying inside the region.
+    ts = data.time + jnp.arange(
+        cfg.horizon, dtype=cands.dtype) * m.opt.timestep
+    actions = jax.vmap(
+        lambda v: spline.sample_many(new_times, v, ts, cfg.interp))(cands)
+
+    def shard_kernel(acts):
+      qp, qv, mp, mq, ud, t0, pv = _vary(
+          (data.qpos, data.qvel, data.mocap_pos, data.mocap_quat,
+           data.userdata, data.time, p))
+      if use_pallas:
+        # pallas_call cannot infer output vma inside a VMA-checked
+        # shard_map — declare the returns axis-varying explicitly
+        return mega.returns(qp, qv, acts, pv, t0, mocap_pos=mp,
+                            mocap_quat=mq, userdata=ud, vma=(AXIS,))
+      return mega.returns_xla(qp, qv, acts, pv, t0, mocap_pos=mp,
+                              mocap_quat=mq, userdata=ud)
+
+    fn = jax.shard_map(shard_kernel, mesh=mesh, in_specs=(P(AXIS),),
+                       out_specs=P(AXIS))
+    return fn(actions)
+
+  # general path: per-shard vmap of the scan rollout. The scan carry must
+  # be marked varying on the candidate axis (each shard evolves its own
+  # copies of the replicated start state).
+  def shard_roll(cands_shard):
+    data_v = _vary(data)
+
+    def ret(values):
+      pf = lambda t, d: spline.sample(new_times, values, t, cfg.interp)
+      return rollout_mod.rollout_return(task, data_v, pf, cfg.horizon,
+                                        params)
+
+    return jax.vmap(ret)(cands_shard)
+
+  fn = jax.shard_map(shard_roll, mesh=mesh, in_specs=(P(AXIS),),
+                     out_specs=P(AXIS))
+  return fn(cands)
 
 
 class ShardedSamplingPlanner(SamplingPlanner):
@@ -128,72 +158,18 @@ class ShardedSamplingPlanner(SamplingPlanner):
       self._mega = megarollout.try_build(task, self.config.horizon)
     return policy
 
-  def optimize(self, task: Task, policy: SamplingPolicy, data: Data,
-               rng: jax.Array, params: Optional[TaskParams] = None
-               ) -> Tuple[SamplingPolicy, PlanInfo]:
-    cfg = self.config
-    m = task.model
-    k = cfg.spline_points
-    n = cfg.num_trajectories
-    n_dev = self.mesh.devices.size
-    per_dev = n // n_dev
+  def _returns(self, task: Task, data: Data, new_times: jax.Array,
+               cands: jax.Array,
+               params: Optional[TaskParams]) -> jax.Array:
+    """Candidate returns with the candidate axis sharded over the mesh.
 
-    new_times, nominal = _resample_nominal(cfg, m, policy, data)
-    lo, hi = m.actuator_ctrlrange[:, 0], m.actuator_ctrlrange[:, 1]
-    scale = jnp.where(m.actuator_ctrllimited, 0.5 * (hi - lo), 1.0)
-    mega, use_pallas = _shard_mega(self, per_dev)
-
-    def shard_eval(rng_shard):
-      """Runs on each device: generate + roll the local candidate shard."""
-      idx = jax.lax.axis_index(AXIS)
-      key = jax.random.fold_in(rng_shard[0], idx)
-      kn, kb = jax.random.split(key)
-      use2 = jnp.logical_and(
-          policy.exploration2 > 0,
-          jax.random.bernoulli(kb, _STD2_PROPORTION, (per_dev,)))
-      stds = jnp.where(use2, policy.exploration2, policy.exploration)
-      noise = (jax.random.normal(kn, (per_dev, k, m.nu),
-                                 dtype=nominal.dtype) *
-               stds[:, None, None] * scale[None, None, :])
-      # device 0's first candidate is the noise-free nominal
-      first = jnp.logical_and(idx == 0,
-                              jax.lax.broadcasted_iota(
-                                  jnp.int32, (per_dev, 1, 1), 0) == 0)
-      noise = jnp.where(first, 0.0, noise)
-      cands = nominal[None] + noise
-      cands = jnp.where(m.actuator_ctrllimited,
-                        jnp.clip(cands, lo, hi), cands)
-
-      if mega is not None:
-        # fast path: per-shard whole-rollout megakernel (Pallas on TPU,
-        # tile-XLA elsewhere) — the winner reduction below stays an ICI
-        # collective, so the round-2 single-chip perf story composes
-        return _mega_shard_returns(mega, use_pallas, task, cfg, data,
-                                   new_times, cands, params), cands
-
-      # the scan carry must be marked varying on the candidate axis
-      # (each shard evolves its own copies of the replicated start state)
-      data_v = _vary(data)
-
-      def ret(values):
-        pf = lambda t, d: spline.sample(new_times, values, t, cfg.interp)
-        return rollout_mod.rollout_return(task, data_v, pf, cfg.horizon,
-                                          params)
-
-      return jax.vmap(ret)(cands), cands
-
-    # outputs stay sharded (P(AXIS)); the argmin below is a GSPMD-inserted
-    # ICI reduction — no manual all_gather, VMA fully checked
-    fn = jax.shard_map(
-        shard_eval, mesh=self.mesh, in_specs=(P(AXIS),),
-        out_specs=(P(AXIS), P(AXIS)))
-    rng_per_dev = jnp.tile(rng[None], (n_dev, 1))
-    returns, cands = fn(rng_per_dev)
-    winner = jnp.argmin(returns)
-    new_policy = policy.replace(times=new_times, values=cands[winner])
-    info = PlanInfo(costs=returns, winner=winner,
-                    best_return=returns[winner])
-    return new_policy, info
+    Candidate generation (inherited `_gen_candidates`) runs at jit level —
+    GSPMD shards it; the winner argmin in the inherited `optimize` becomes
+    an ICI reduction. Only the rollout evaluation is an explicit
+    shard_map, so the single-chip megakernel perf story composes with
+    scale-out unchanged."""
+    return _sharded_returns(self, self.mesh, task, self.config, data,
+                            new_times, cands, params)
 
 
 class ShardedCrossEntropyPlanner(CrossEntropyPlanner):
@@ -216,67 +192,14 @@ class ShardedCrossEntropyPlanner(CrossEntropyPlanner):
       self._mega = megarollout.try_build(task, self.config.horizon)
     return policy
 
-  def optimize(self, task: Task, policy: CEMPolicy, data: Data,
-               rng: jax.Array, params: Optional[TaskParams] = None
-               ) -> Tuple[CEMPolicy, PlanInfo]:
-    cfg = self.config
-    m = task.model
-    k, n = cfg.spline_points, cfg.num_trajectories
-    n_dev = self.mesh.devices.size
-    per_dev = n // n_dev
-
-    new_times, nominal = _resample_nominal(cfg, m, policy, data)
-    std_rs = spline.resample(policy.times, policy.std, new_times, cfg.interp)
-    lo, hi = m.actuator_ctrlrange[:, 0], m.actuator_ctrlrange[:, 1]
-    mega, use_pallas = _shard_mega(self, per_dev)
-
-    def shard_eval(rng_shard):
-      idx = jax.lax.axis_index(AXIS)
-      key = jax.random.fold_in(rng_shard[0], idx)
-      noise = jax.random.normal(key, (per_dev, k, m.nu),
-                                dtype=nominal.dtype) * std_rs[None]
-      # device 0's first candidate is the noise-free nominal
-      first = jnp.logical_and(idx == 0,
-                              jax.lax.broadcasted_iota(
-                                  jnp.int32, (per_dev, 1, 1), 0) == 0)
-      noise = jnp.where(first, 0.0, noise)
-      cands = nominal[None] + noise
-      cands = jnp.where(m.actuator_ctrllimited,
-                        jnp.clip(cands, lo, hi), cands)
-
-      if mega is not None:
-        return _mega_shard_returns(mega, use_pallas, task, cfg, data,
-                                   new_times, cands, params), cands
-
-      data_v = _vary(data)
-
-      def ret(values):
-        pf = lambda t, d: spline.sample(new_times, values, t, cfg.interp)
-        return rollout_mod.rollout_return(task, data_v, pf, cfg.horizon,
-                                          params)
-
-      return jax.vmap(ret)(cands), cands
-
-    fn = jax.shard_map(
-        shard_eval, mesh=self.mesh, in_specs=(P(AXIS),),
-        out_specs=(P(AXIS), P(AXIS)))
-    rng_per_dev = jnp.tile(rng[None], (n_dev, 1))
-    returns, cands = fn(rng_per_dev)
-
-    # elite statistics on the (gathered) candidate set — GSPMD turns the
-    # top_k + gathers into the needed collectives
-    _, elite_idx = jax.lax.top_k(-returns, cfg.n_elite)
-    elites = cands[elite_idx]
-    mean = jnp.mean(elites, axis=0)
-    var = jnp.sum((elites - mean[None]) ** 2, axis=0) / jnp.maximum(
-        cfg.n_elite - 1, 1)
-    std = jnp.maximum(jnp.sqrt(var), cfg.std_min)
-
-    new_policy = policy.replace(times=new_times, values=mean, std=std)
-    winner = elite_idx[0]
-    info = PlanInfo(costs=returns, winner=winner,
-                    best_return=returns[winner])
-    return new_policy, info
+  def _returns(self, task: Task, data: Data, new_times: jax.Array,
+               cands: jax.Array,
+               params: Optional[TaskParams]) -> jax.Array:
+    """Sharded candidate returns; elite top-k + mean/var refit stay in the
+    inherited `optimize` at jit level, where GSPMD inserts the needed
+    collectives over the sharded returns."""
+    return _sharded_returns(self, self.mesh, task, self.config, data,
+                            new_times, cands, params)
 
 
 class ShardedRobustPlanner(RobustPlanner):

@@ -91,9 +91,11 @@ class CrossEntropyPlanner:
                      jnp.clip(u, m.actuator_ctrlrange[:, 0],
                               m.actuator_ctrlrange[:, 1]), u)
 
-  def optimize(self, task: Task, policy: CEMPolicy, data: Data,
-               rng: jax.Array, params: Optional[TaskParams] = None
-               ) -> Tuple[CEMPolicy, PlanInfo]:
+  def _gen_candidates(self, task: Task, policy: CEMPolicy, data: Data,
+                      rng: jax.Array) -> Tuple[jax.Array, jax.Array,
+                                               jax.Array]:
+    """(new_times, nominal, candidate values (N,k,nu)) — shared verbatim
+    by the mesh-sharded CEM so sharded/unsharded draw identical sets."""
     cfg = self.config
     m = task.model
     k, n = cfg.spline_points, cfg.num_trajectories
@@ -112,24 +114,39 @@ class CrossEntropyPlanner:
     cands = jnp.concatenate([nominal[None], nominal[None] + noise])
     lo, hi = m.actuator_ctrlrange[:, 0], m.actuator_ctrlrange[:, 1]
     cands = jnp.where(m.actuator_ctrllimited, jnp.clip(cands, lo, hi), cands)
+    return new_times, nominal, cands
 
+  def _returns(self, task: Task, data: Data, new_times: jax.Array,
+               cands: jax.Array,
+               params: Optional[TaskParams]) -> jax.Array:
+    """Candidate returns (N,); overridden by the sharded CEM."""
+    cfg = self.config
+    m = task.model
+    n = cands.shape[0]
     if self._mega is not None and data.qpos.ndim == 1 and n % 128 == 0:
       ts = data.time + jnp.arange(
-          cfg.horizon, dtype=nominal.dtype) * m.opt.timestep
+          cfg.horizon, dtype=cands.dtype) * m.opt.timestep
       actions = jax.vmap(
           lambda v: spline.sample_many(new_times, v, ts, cfg.interp))(cands)
-      returns = self._mega.returns(
+      return self._mega.returns(
           data.qpos, data.qvel, actions,
           params if params is not None else task.params, data.time,
           mocap_pos=data.mocap_pos, mocap_quat=data.mocap_quat,
           userdata=data.userdata)
-    else:
-      def ret(values):
-        pf = lambda t, d: spline.sample(new_times, values, t, cfg.interp)
-        return rollout_mod.rollout_return(task, data, pf, cfg.horizon,
-                                          params)
 
-      returns = jax.vmap(ret)(cands)
+    def ret(values):
+      pf = lambda t, d: spline.sample(new_times, values, t, cfg.interp)
+      return rollout_mod.rollout_return(task, data, pf, cfg.horizon,
+                                        params)
+
+    return jax.vmap(ret)(cands)
+
+  def optimize(self, task: Task, policy: CEMPolicy, data: Data,
+               rng: jax.Array, params: Optional[TaskParams] = None
+               ) -> Tuple[CEMPolicy, PlanInfo]:
+    cfg = self.config
+    new_times, nominal, cands = self._gen_candidates(task, policy, data, rng)
+    returns = self._returns(task, data, new_times, cands, params)
 
     # elite statistics (planner.cc:224-270)
     neg_top, elite_idx = jax.lax.top_k(-returns, cfg.n_elite)

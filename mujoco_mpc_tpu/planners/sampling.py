@@ -103,16 +103,15 @@ class SamplingPlanner:
                      jnp.clip(u, lo, hi), u)
 
   # -------------------------------------------------------------- optimize
-  def candidates(self, task: Task, policy: SamplingPolicy, data: Data,
-                 rng: jax.Array,
-                 params: Optional[TaskParams] = None
-                 ) -> Tuple[SamplingPolicy, jax.Array, jax.Array]:
-    """Nominal resample + noisy candidates + their returns.
+  def _gen_candidates(self, task: Task, policy: SamplingPolicy, data: Data,
+                      rng: jax.Array) -> Tuple[jax.Array, jax.Array,
+                                               jax.Array]:
+    """(new_times, nominal, candidate values (N,k,nu)).
 
-    Returns (resampled nominal policy, candidate values (N,k,nu),
-    returns (N,)). Exposed separately so Robust/iLQS can re-rank
-    candidates (reference RankedPlanner, planner.h:84-102).
-    """
+    Nominal resample + two-component spline-node noise + clamping
+    (reference UpdateNominalPolicy planner.cc:240-323, AddNoiseToPolicy
+    planner.cc:326-352). Shared verbatim by the mesh-sharded planner, so
+    sharded and unsharded runs draw identical candidate sets."""
     cfg = self.config
     m = task.model
     k = cfg.spline_points
@@ -120,7 +119,6 @@ class SamplingPlanner:
     dt = m.opt.timestep
 
     # 1. resample nominal onto a fresh grid anchored at the current time
-    #    (UpdateNominalPolicy, planner.cc:240-323)
     horizon_time = (cfg.horizon - 1) * dt
     denom = k if cfg.interp == spline.Interp.ZERO else k - 1
     new_times = data.time + jnp.arange(k, dtype=policy.times.dtype) * (
@@ -143,28 +141,49 @@ class SamplingPlanner:
     lo, hi = m.actuator_ctrlrange[:, 0], m.actuator_ctrlrange[:, 1]
     cands = jnp.where(m.actuator_ctrllimited,
                       jnp.clip(cands, lo, hi), cands)
+    return new_times, nominal, cands
 
-    # 3. batched rollouts (the reference's ThreadPool fan-out,
-    #    planner.cc:355-393): whole-rollout Pallas megakernel when the
-    #    model qualifies (ops/megarollout.py), general vmap otherwise
+  def _returns(self, task: Task, data: Data, new_times: jax.Array,
+               cands: jax.Array,
+               params: Optional[TaskParams]) -> jax.Array:
+    """Candidate returns (N,): whole-rollout Pallas megakernel when the
+    model qualifies (ops/megarollout.py), general vmap rollout otherwise
+    (the reference's ThreadPool fan-out, planner.cc:355-393). Overridden
+    by the mesh-sharded planners with a shard_map evaluation."""
+    cfg = self.config
+    m = task.model
+    n = cands.shape[0]
     if self._mega is not None and data.qpos.ndim == 1 and n % 128 == 0:
       ts = data.time + jnp.arange(
-          cfg.horizon, dtype=nominal.dtype) * m.opt.timestep
+          cfg.horizon, dtype=cands.dtype) * m.opt.timestep
       actions = jax.vmap(
           lambda v: spline.sample_many(new_times, v, ts, cfg.interp))(cands)
-      returns = self._mega.returns(
+      return self._mega.returns(
           data.qpos, data.qvel, actions,
           params if params is not None else task.params, data.time,
           mocap_pos=data.mocap_pos, mocap_quat=data.mocap_quat,
           userdata=data.userdata)
-    else:
-      def ret(values):
-        policy_fn = lambda t, d: spline.sample(new_times, values, t,
-                                               cfg.interp)
-        return rollout_mod.rollout_return(task, data, policy_fn,
-                                          cfg.horizon, params)
 
-      returns = jax.vmap(ret)(cands)
+    def ret(values):
+      policy_fn = lambda t, d: spline.sample(new_times, values, t,
+                                             cfg.interp)
+      return rollout_mod.rollout_return(task, data, policy_fn,
+                                        cfg.horizon, params)
+
+    return jax.vmap(ret)(cands)
+
+  def candidates(self, task: Task, policy: SamplingPolicy, data: Data,
+                 rng: jax.Array,
+                 params: Optional[TaskParams] = None
+                 ) -> Tuple[SamplingPolicy, jax.Array, jax.Array]:
+    """Nominal resample + noisy candidates + their returns.
+
+    Returns (resampled nominal policy, candidate values (N,k,nu),
+    returns (N,)). Exposed separately so Robust/iLQS can re-rank
+    candidates (reference RankedPlanner, planner.h:84-102).
+    """
+    new_times, nominal, cands = self._gen_candidates(task, policy, data, rng)
+    returns = self._returns(task, data, new_times, cands, params)
     resampled = policy.replace(times=new_times, values=nominal)
     return resampled, cands, returns
 

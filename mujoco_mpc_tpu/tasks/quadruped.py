@@ -7,8 +7,10 @@ switching from filtered CoM speed, gait-dependent cost weights, and modes
 keeps this state in ResidualFn members mutated by TransitionLocked
 (quadruped.cc:229-345) on the host; here the whole FSM is a *pure function*
 with its state in data.userdata, so it runs on device and survives jit —
-SURVEY §7 hard part #2. The Flip mode (backflip choreography,
-quadruped.cc:350-445) is not implemented this round.
+SURVEY §7 hard part #2. Flip mode (backflip choreography,
+quadruped.cc:350-445) is a closed-form height/pitch trajectory tracked by
+the Upright/Height residual branches, with its entry snapshot (start time,
+torso quat, ground height) in userdata.
 
 Residual layout mirrors quadruped.cc:33-228: Upright(3), Height(1),
 Position(3), Gait(4), Balance(2), Effort(nu), Posture(nu), Orientation(2),
@@ -22,6 +24,7 @@ userdata layout:
   [7] last transition t   [8] mode start time       [9:11] walk axis
   [11:13] walk heading    [13] walk speed           [14] walk angvel
   [15] requested mode (base.MODE_SLOT)              [16] accepted mode
+  [17:21] torso quat at flip entry                  [21] ground z at flip
 """
 
 from __future__ import annotations
@@ -34,9 +37,10 @@ from mujoco_mpc_tpu.physics import sensors as psensors
 from mujoco_mpc_tpu.physics.types import GeomType
 from mujoco_mpc_tpu.tasks import base, registry
 
-# modes (reference A1Mode, quadruped.h:40-47; Flip deferred)
-MODE_QUADRUPED, MODE_BIPED, MODE_WALK, MODE_SCRAMBLE = 0, 1, 2, 3
-MODE_NAMES = ("Quadruped", "Biped", "Walk", "Scramble")
+# modes (reference A1Mode, quadruped.h:40-47)
+(MODE_QUADRUPED, MODE_BIPED, MODE_WALK, MODE_SCRAMBLE,
+ MODE_FLIP) = 0, 1, 2, 3, 4
+MODE_NAMES = ("Quadruped", "Biped", "Walk", "Scramble", "Flip")
 
 # gaits (reference A1Gait, quadruped.h:58-65)
 GAIT_STAND, GAIT_WALK, GAIT_TROT, GAIT_CANTER, GAIT_GALLOP = range(5)
@@ -73,10 +77,98 @@ _FEET = ("FL_foot", "FR_foot", "RL_foot", "RR_foot")
 
 # residual_params indices (XML custom numeric order)
 _P_GAIT, _P_GAIT_SWITCH, _P_WALK_SPEED, _P_WALK_TURN = 0, 1, 2, 3
-_P_BIPED_TYPE, _P_HEADING, _P_ARM_POSTURE = 4, 5, 6
+_P_BIPED_TYPE, _P_HEADING, _P_ARM_POSTURE, _P_FLIP_DIR = 4, 5, 6, 7
 
 # cost term indices (XML sensor order)
 _T_UPRIGHT, _T_HEIGHT, _T_BALANCE = 0, 1, 4
+
+# ---------------------------------------------------------------------------
+# Flip choreography (reference quadruped.cc:350-445, 565-604, 682-720):
+# crouch → leap → 2π flight rotation → land, as closed-form height/angle
+# trajectories derived once from the jump kinematics. Reference heights are
+# for the A1 (stand 0.25 m); scaled proportionally to this robot's 0.30 m.
+# ---------------------------------------------------------------------------
+import math as _pymath
+
+_G = 9.81
+_CROUCH_HEIGHT = _HEIGHT_QUADRUPED * 0.6   # ref kCrouchHeight/kHeight = 0.6
+_LEAP_HEIGHT = _HEIGHT_QUADRUPED * 2.0     # ref kLeapHeight/kHeight = 2.0
+_MAX_HEIGHT = _HEIGHT_QUADRUPED * 3.2      # ref kMaxHeight/kHeight = 3.2
+_JUMP_VEL = _pymath.sqrt(2 * _G * (_MAX_HEIGHT - _LEAP_HEIGHT))
+_FLIGHT_TIME = 2 * _JUMP_VEL / _G
+_JUMP_ACC = _JUMP_VEL ** 2 / (2 * (_LEAP_HEIGHT - _CROUCH_HEIGHT))
+_CROUCH_TIME = _pymath.sqrt(
+    2 * (_HEIGHT_QUADRUPED - _CROUCH_HEIGHT) / _JUMP_ACC)
+_LEAP_TIME = _JUMP_VEL / _JUMP_ACC
+_JUMP_TIME = _CROUCH_TIME + _LEAP_TIME
+_CROUCH_VEL = -_JUMP_ACC * _CROUCH_TIME
+_LAND_TIME = 2 * (_LEAP_HEIGHT - _HEIGHT_QUADRUPED) / _JUMP_VEL
+_LAND_ACC = _JUMP_VEL / _LAND_TIME
+# total rotation 2π = π/2 (leap) + 1.25π (flight) + 0.25π (land)
+_FLIGHT_ROT_VEL = 1.25 * _pymath.pi / _FLIGHT_TIME
+_JUMP_ROT_VEL = _pymath.pi / _LEAP_TIME - _FLIGHT_ROT_VEL
+_JUMP_ROT_ACC = (_FLIGHT_ROT_VEL - _JUMP_ROT_VEL) / _LEAP_TIME
+_LAND_ROT_ACC = (2 * (_FLIGHT_ROT_VEL * _LAND_TIME - _pymath.pi / 4) /
+                 (_LAND_TIME ** 2))
+_FLIP_TOTAL_TIME = _JUMP_TIME + _FLIGHT_TIME + _LAND_TIME
+
+
+def _flip_height(ft):
+  """Target torso height over ground during the flip (FlipHeight,
+  quadruped.cc:682-697); ft = time since flip start (batch-polymorphic)."""
+  h_jump = (_HEIGHT_QUADRUPED + ft * _CROUCH_VEL +
+            0.5 * _JUMP_ACC * ft * ft)
+  tf = ft - _JUMP_TIME
+  h_flight = _LEAP_HEIGHT + _JUMP_VEL * tf - 0.5 * _G * tf * tf
+  tl = ft - _JUMP_TIME - _FLIGHT_TIME
+  h_land = _LEAP_HEIGHT - _JUMP_VEL * tl + 0.5 * _LAND_ACC * tl * tl
+  h = jnp.where(ft < _JUMP_TIME, h_jump,
+                jnp.where(ft < _JUMP_TIME + _FLIGHT_TIME, h_flight, h_land))
+  return jnp.where(ft >= _FLIP_TOTAL_TIME, _HEIGHT_QUADRUPED, h)
+
+
+def _flip_angle(ft):
+  """Target pitch rotation during the flip (FlipQuat, cc:702-720)."""
+  tc = ft - _CROUCH_TIME
+  a_jump = 0.5 * _JUMP_ROT_ACC * tc * tc + _JUMP_ROT_VEL * tc
+  a_jump = jnp.where(ft < _CROUCH_TIME, 0.0, a_jump)
+  tf = ft - _JUMP_TIME
+  a_flight = 0.5 * _pymath.pi + _FLIGHT_ROT_VEL * tf
+  tl = ft - _JUMP_TIME - _FLIGHT_TIME
+  a_land = (1.75 * _pymath.pi + _FLIGHT_ROT_VEL * tl -
+            0.5 * _LAND_ROT_ACC * tl * tl)
+  a = jnp.where(ft < _JUMP_TIME, a_jump,
+                jnp.where(ft < _JUMP_TIME + _FLIGHT_TIME, a_flight, a_land))
+  return jnp.where(ft >= _FLIP_TOTAL_TIME, 2 * _pymath.pi, a)
+
+
+# leading-axis quaternion helpers: residuals are batch-TRAILING polymorphic
+# ((4, *b) quats), so the trailing-axis helpers in physics.math (and their
+# Mosaic-hostile last-axis indexing) cannot be used here.
+
+
+def _quat_mul_l(u, v):
+  w1, x1, y1, z1 = u[0], u[1], u[2], u[3]
+  w2, x2, y2, z2 = v[0], v[1], v[2], v[3]
+  return jnp.stack([
+      w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+      w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+      w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+      w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+  ])
+
+
+def _quat_sub_l(qa, qb):
+  """Tangent-space orientation error of qa relative to qb, (3, *b).
+
+  The exact log map (mju_subQuat) needs atan2, which has no Mosaic TPU
+  lowering; this uses the sin-weighted surrogate 2·sign(w)·vec(qb⁻¹⊗qa)
+  = axis·2·sin(θ/2): equal to the rotation vector to O(θ³), monotone in
+  θ on [0, π] — a cost-shaping equivalent for tracking residuals."""
+  qbc = jnp.stack([qb[0], -qb[1], -qb[2], -qb[3]])
+  dq = _quat_mul_l(qbc, qa)
+  s = jnp.where(dq[0] < 0, -2.0, 2.0)  # shortest path
+  return jnp.stack([dq[1] * s, dq[2] * s, dq[3] * s])
 
 
 def _get_phase(u, time):
@@ -171,11 +263,30 @@ def residual(model, data, params):
   zero = upright0 * 0.0
   upright = jnp.stack([upright0, zero, zero])
 
+  # Flip: orientation tracks the choreographed pitch trajectory
+  # (quadruped.cc:64-72): residual = torso_xquat ⊖ (q_start ⊗ rot_y(angle))
+  flip_time = data.time - u[8] + zero
+  angle = _flip_angle(flip_time)
+  flip_axis_y = jnp.where(params[_P_FLIP_DIR] > 0.5, 1.0, -1.0)
+  half = 0.5 * angle
+  dq = jnp.stack([jnp.cos(half), zero, flip_axis_y * jnp.sin(half) + zero,
+                  zero])
+  q_start = u[17:21] + jnp.stack([zero] * 4)  # saved at flip entry
+  q_target = _quat_mul_l(q_start, dq)
+  torso_xquat = data.xquat[trunk]
+  upright_flip = _quat_sub_l(torso_xquat + jnp.stack([zero] * 4), q_target)
+  upright = jnp.where(mode == MODE_FLIP, upright_flip, upright)
+
   # ---------- Height (quadruped.cc:75-89) ----------
   height_goal = jnp.where(mode == MODE_BIPED, _HEIGHT_BIPED,
                           _HEIGHT_QUADRUPED)
   height = (torso_pos[2] - avg_foot[2]) - height_goal
   height = jnp.where(mode == MODE_SCRAMBLE, 0.0, height)
+  # Flip: torso height tracks the jump trajectory over the saved ground
+  # height u[21] (quadruped.cc:83-86)
+  height = jnp.where(mode == MODE_FLIP,
+                     torso_pos[2] - (u[21] + _flip_height(flip_time)),
+                     height)
 
   # ---------- Position (quadruped.cc:92-108): head → goal mocap;
   # in Walk mode the transition FSM moves the goal along the prescribed
@@ -271,6 +382,14 @@ def weight_mod(model, data, params):
   rows[_T_BALANCE] = _sel_scalar(_GAIT_PARAM, gait, 3) + 0.0 * one
   rows[_T_UPRIGHT] = _sel_scalar(_GAIT_PARAM, gait, 4) + 0.0 * one
   rows[_T_HEIGHT] = _sel_scalar(_GAIT_PARAM, gait, 5) + 0.0 * one
+  # Flip overrides every term weight (reference sets absolute weights on
+  # entering Flip and restores them after, quadruped.cc:366-376; here the
+  # same effect is a pure multiplier against the XML defaults — Upright
+  # 1→0.2, Height 1→5, Position/Gait/Balance→0, Effort 0.03→0.005,
+  # Posture 0.02→0.1 — so nothing mutates and nothing needs restoring)
+  flip_scale = (0.2, 5.0, 0.0, 0.0, 0.0, 0.005 / 0.03, 0.1 / 0.02, 1.0, 1.0)
+  rows = [jnp.where(mode == MODE_FLIP, s * one, r)
+          for r, s in zip(rows, flip_scale)]
   return jnp.stack(rows)
 
 
@@ -293,9 +412,27 @@ def transition(model, data, params):
   u = u.at[2].set(jnp.where(is_reset, t, u[2]))
 
   # ---------- forbidden transitions (quadruped.cc:240-248): switching
-  # into the stateful Walk mode is only allowed from Quadruped ----------
+  # into the stateful Walk/Flip modes is only allowed from Quadruped ----
   req = jnp.where((req != cur) & (cur != MODE_QUADRUPED) &
-                  (req == MODE_WALK), MODE_QUADRUPED, req)
+                  ((req == MODE_WALK) | (req == MODE_FLIP)),
+                  MODE_QUADRUPED, req)
+
+  # ---------- Flip entry/exit (quadruped.cc:350-390) ----------
+  # entering: save start time, torso orientation and ground height; the
+  # choreography (residual Upright/Height branches + weight_mod override)
+  # reads them from userdata — nothing else mutates
+  entering_flip = (req == MODE_FLIP) & (cur != MODE_FLIP)
+  torso_xquat = data.xquat[trunk]
+  compos0 = data.subtree_com[trunk]
+  ground_com = _ground_under(model, data, compos0[None])[0]
+  u = u.at[8].set(jnp.where(entering_flip, t, u[8]))
+  u = u.at[17:21].set(jnp.where(entering_flip, torso_xquat, u[17:21]))
+  u = u.at[21].set(jnp.where(entering_flip, ground_com, u[21]))
+  # exiting: after the full crouch→flight→land choreography, back to
+  # Quadruped with the goal at the head (so the robot stays put)
+  flip_done = (req == MODE_FLIP) & (~entering_flip) & \
+      (t - u[8] >= _FLIP_TOTAL_TIME)
+  req = jnp.where(flip_done, MODE_QUADRUPED, req)
 
   # ---------- automatic gait switching (quadruped.cc:259-289) ----------
   comvel = psensors.subtree_linvel(model, data, trunk)[:2]
@@ -317,6 +454,9 @@ def transition(model, data, params):
   gait = u[0].astype(jnp.int32)
   manual = params[_P_GAIT].astype(jnp.int32)
   new_gait = jnp.where(auto_on, jnp.where(waited, auto_gait, gait), manual)
+  # flip suspends gait machinery (reference zeroes the gait-switch
+  # parameter for the duration, quadruped.cc:375-376)
+  new_gait = jnp.where(req == MODE_FLIP, gait, new_gait)
   switched = new_gait != gait
   u = u.at[0].set(new_gait.astype(dtype))
   u = u.at[6].set(jnp.where(switched & auto_on, t, u[6]))
@@ -363,6 +503,11 @@ def transition(model, data, params):
   walk_goal_xy = jnp.where(walk_turning, circle, straight)
   new_goal = jnp.where(req == MODE_WALK,
                        jnp.concatenate([walk_goal_xy, goal[2:]]), goal)
+  # flip exit parks the goal at the head so the robot stays put
+  # (quadruped.cc:386-388)
+  head_xy = data.site_xpos[model.site("head")][:2]
+  new_goal = jnp.where(flip_done,
+                       jnp.concatenate([head_xy, goal[2:]]), new_goal)
 
   # ---------- commit ----------
   u = u.at[7].set(t)
