@@ -467,6 +467,25 @@ def pair_slots(m: Model):
   return tuple(slots)
 
 
+def angular_points(m: Model):
+  """Static (torsion_pts, roll_pts): contact-point indices whose pair's
+  condim (max of the two geoms', MuJoCo combination rule) enables
+  torsional (condim ≥ 4) / rolling (condim 6) friction rows.
+
+  physics/solver.py appends one torsional and two rolling rows per listed
+  point after the 3·ncon translational rows; the lists are static so the
+  constraint-row layout stays compile-time constant."""
+  tor, rol = [], []
+  for (start, count), (g1, g2) in zip(pair_slots(m), m.collision_pairs):
+    condim = max(m.geom_condim[g1], m.geom_condim[g2])
+    for i in range(start, start + count):
+      if condim >= 4:
+        tor.append(i)
+      if condim >= 6:
+        rol.append(i)
+  return tuple(tor), tuple(rol)
+
+
 def geom_pair_slots(m: Model, ga: int, gb: int):
   """(slot_start, slot_count, sign) for the candidate pair {ga, gb}.
 
@@ -486,6 +505,7 @@ def collide(m: Model, d: Data) -> Data:
   dtype = d.qpos.dtype
   dists, poss, frames, frictions, solrefs, solimps, g1s, g2s = (
       [], [], [], [], [], [], [], [])
+  torsions, rolls = [], []
   for g1, g2 in m.collision_pairs:
     t1, t2 = GeomType(m.geom_type[g1]), GeomType(m.geom_type[g2])
     if t2 == GeomType.MESH:
@@ -499,6 +519,8 @@ def collide(m: Model, d: Data) -> Data:
       pts = fn(d.geom_xpos[g1], d.geom_xmat[g1], d.geom_xpos[g2],
                d.geom_xmat[g2], m.geom_size[g1], m.geom_size[g2])
     fric = jnp.maximum(m.geom_friction[g1, 0], m.geom_friction[g2, 0])
+    tor = jnp.maximum(m.geom_friction[g1, 1], m.geom_friction[g2, 1])
+    rol = jnp.maximum(m.geom_friction[g1, 2], m.geom_friction[g2, 2])
     solref = 0.5 * (m.geom_solref[g1] + m.geom_solref[g2])
     solimp = 0.5 * (m.geom_solimp[g1] + m.geom_solimp[g2])
     margin = jnp.maximum(m.geom_margin[g1], m.geom_margin[g2])
@@ -507,6 +529,8 @@ def collide(m: Model, d: Data) -> Data:
       poss.append(pos)
       frames.append(_frame_from_normal(n))
       frictions.append(fric)
+      torsions.append(tor)
+      rolls.append(rol)
       solrefs.append(solref)
       solimps.append(solimp)
       g1s.append(g1)
@@ -520,6 +544,8 @@ def collide(m: Model, d: Data) -> Data:
       pos=jnp.stack(poss),
       frame=jnp.stack(frames),
       friction=jnp.stack(frictions),
+      torsion=jnp.stack(torsions),
+      roll=jnp.stack(rolls),
       solref=jnp.stack(solrefs),
       solimp=jnp.stack(solimps),
       geom1=jnp.asarray(g1s, dtype=jnp.int32),

@@ -425,6 +425,7 @@ def from_mjmodel(mj, dtype=jnp.float32) -> types.Model:
       dof_bodyid=ti(mj.dof_bodyid),
       dof_jntid=ti(mj.dof_jntid),
       geom_type=ti(mj.geom_type),
+      geom_condim=ti(mj.geom_condim),
       geom_bodyid=ti(mj.geom_bodyid),
       geom_dataid=ti(mj.geom_dataid),
       hfield_nrow=int(mj.hfield_nrow[0]) if mj.nhfield else 0,
@@ -539,6 +540,8 @@ def make_data(m: types.Model, dtype=None) -> types.Data:
       pos=z(npair, 3),
       frame=eye3,
       friction=z(npair),
+      torsion=z(npair),
+      roll=z(npair),
       solref=z(npair, 2),
       solimp=z(npair, 5),
       geom1=jnp.zeros((npair,), dtype=jnp.int32),

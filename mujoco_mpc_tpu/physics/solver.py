@@ -81,6 +81,28 @@ def _contact_jacobian(m: Model, d: Data) -> jax.Array:
   return jnp.einsum("prc,pnc->prn", con.frame, jrel)  # (npt, 3, nv)
 
 
+def _angular_rows(m: Model, d: Data, pts, axes):
+  """Relative angular-velocity Jacobian rows about contact-frame axes.
+
+  pts: STATIC tuple of contact-point indices; axes: frame row indices
+  (0 = normal → torsional friction, 1/2 = tangents → rolling). Returns
+  (len(pts)·len(axes), nv), axis-major ([all axis0 rows, all axis1 ...]).
+  MuJoCo condim-4/6 row semantics (engine_core_constraint.c contact
+  friction dimensions beyond 3)."""
+  idx = jnp.asarray(pts, dtype=jnp.int32)
+  con = d.contact
+  b1 = jnp.asarray(m.geom_bodyid, dtype=jnp.int32)[con.geom1[idx]]
+  b2 = jnp.asarray(m.geom_bodyid, dtype=jnp.int32)[con.geom2[idx]]
+  mask1 = m.dof_body_mask.T[b1]  # (k, nv)
+  mask2 = m.dof_body_mask.T[b2]
+  jang = d.cdof[:, :3]  # (nv, 3) angular part of each dof's spatial axis
+  jrel = (jnp.where(mask2[..., None], jang[None], 0.0) -
+          jnp.where(mask1[..., None], jang[None], 0.0))  # (k, nv, 3)
+  rows = [jnp.sum(jrel * con.frame[idx, a, :][:, None, :], axis=-1)
+          for a in axes]
+  return jnp.concatenate(rows) if len(rows) > 1 else rows[0]
+
+
 def _limit_rows(m: Model, d: Data):
   """Limit rows: two-sided for scalar joints, rotation-angle for ball.
 
@@ -239,12 +261,17 @@ def _equality_rows(m: Model, d: Data):
 def nrow_static(m: Model) -> int:
   """Total constraint-row count for the model (static; warm-start shape).
 
-  Layout must mirror solve(): [3·ncon contacts, joint limits (2 per scalar
-  + 1 per ball), tendon limits (2 each), equality rows]."""
+  Layout must mirror solve(): [3·ncon contacts, angular friction rows
+  (1 torsional per condim≥4 point + 2 rolling per condim-6 point), joint
+  limits (2 per scalar + 1 per ball), tendon limits (2 each), equality
+  rows]."""
   from mujoco_mpc_tpu.physics import collision
   from mujoco_mpc_tpu.physics.types import EqType
 
   ncon = collision.npoints(m) if len(m.collision_pairs) else 0
+  tor_pts, roll_pts = (collision.angular_points(m)
+                       if len(m.collision_pairs) else ((), ()))
+  nang = len(tor_pts) + 2 * len(roll_pts)
   nlim = 0
   for j in range(m.njnt):
     if m.jnt_limited[j]:
@@ -256,7 +283,7 @@ def nrow_static(m: Model) -> int:
     if m.eq_active0[e]:
       neq_rows += {EqType.CONNECT: 3, EqType.WELD: 6,
                    EqType.JOINT: 1}[m.eq_type[e]]
-  return 3 * ncon + nlim + neq_rows
+  return 3 * ncon + nang + nlim + neq_rows
 
 
 def solve(m: Model, d: Data, qacc_smooth: jax.Array,
@@ -273,6 +300,7 @@ def solve(m: Model, d: Data, qacc_smooth: jax.Array,
   have_contacts = len(m.collision_pairs) > 0
 
   j_blocks, pos_list, solref_list, solimp_list = [], [], [], []
+  tor_pts, roll_pts = (), ()
   if have_contacts:
     jc = _contact_jacobian(m, d)  # (npt, 3, nv)
     j_blocks.append(jc.reshape(-1, m.nv))
@@ -283,6 +311,26 @@ def solve(m: Model, d: Data, qacc_smooth: jax.Array,
     pos_list.append(pos3.reshape(-1))
     solref_list.append(jnp.repeat(d.contact.solref, 3, axis=0))
     solimp_list.append(jnp.repeat(d.contact.solimp, 3, axis=0))
+
+    # angular friction rows for condim ≥ 4 pairs (static point lists):
+    # one torsional row (about the normal) per condim≥4 point, two
+    # rolling rows (about the tangents) per condim-6 point — what makes
+    # pinch grasps torsionally stable (reference handover box condim=6)
+    from mujoco_mpc_tpu.physics import collision as collision_mod
+    tor_pts, roll_pts = collision_mod.angular_points(m)
+    if tor_pts:
+      j_blocks.append(_angular_rows(m, d, tor_pts, [0]))
+      ti = jnp.asarray(tor_pts, dtype=jnp.int32)
+      pos_list.append(jnp.zeros((len(tor_pts),), dtype=dtype))
+      solref_list.append(d.contact.solref[ti])
+      solimp_list.append(d.contact.solimp[ti])
+    if roll_pts:
+      j_blocks.append(_angular_rows(m, d, roll_pts, [1, 2]))
+      ri = jnp.asarray(roll_pts, dtype=jnp.int32)
+      pos_list.append(jnp.zeros((2 * len(roll_pts),), dtype=dtype))
+      solref_list.append(jnp.tile(d.contact.solref[ri], (2, 1)))
+      solimp_list.append(jnp.tile(d.contact.solimp[ri], (2, 1)))
+  nang = len(tor_pts) + 2 * len(roll_pts)
 
   lim = _limit_rows(m, d)
   tlim = _tendon_limit_rows(m, d) if m.ntendon else None
@@ -323,11 +371,20 @@ def solve(m: Model, d: Data, qacc_smooth: jax.Array,
   eq_active = jnp.ones((neq_rows,), bool)
   if have_contacts:
     con_active = jnp.repeat(d.contact.dist < 0, 3)
-    lim_active = (pos[3 * ncon:nuni] < 0) if nlim else jnp.zeros((0,), bool)
-    active = jnp.concatenate([con_active, lim_active, eq_active])
-    # friction rows have no positional error
+    ang_active = []
+    if tor_pts:
+      ang_active.append(d.contact.dist[jnp.asarray(tor_pts)] < 0)
+    if roll_pts:
+      ang_active.append(
+          jnp.tile(d.contact.dist[jnp.asarray(roll_pts)] < 0, 2))
+    lim_active = (pos[3 * ncon + nang:nuni] < 0) if nlim \
+        else jnp.zeros((0,), bool)
+    active = jnp.concatenate(
+        [con_active, *ang_active, lim_active, eq_active])
+    # friction rows (tangential + angular) have no positional error
     norm_row = jnp.concatenate([
         jnp.tile(jnp.asarray([True, False, False]), ncon),
+        jnp.zeros((nang,), bool),
         jnp.ones((nlim + neq_rows,), bool)])
   else:
     active = jnp.concatenate([pos[:nuni] < 0, eq_active])
@@ -346,9 +403,23 @@ def solve(m: Model, d: Data, qacc_smooth: jax.Array,
   # Delassus operator A = J M⁻¹ Jᵀ and smooth residual a0 = J qacc_smooth
   minv_jt = linalg.chol_solve(chol_factor, jmat.T)  # (nv, nrow)
   amat = jmat @ minv_jt
-  diag = jnp.clip(jnp.diag(amat), 1e-10, None)
+  raw_diag = jnp.diag(amat)
+  # Degenerate rows: A_rr ≈ 0 means no DOF can produce acceleration along
+  # this row (e.g. the out-of-plane translation of a connect equality on a
+  # planar hinge chain — J_row ≈ 0). The dual QP is near-singular there:
+  # its "exact" solution carries an enormous null-direction force that
+  # APGD never converges to, and a warm start *integrates* that component
+  # across steps (observed: 0.003 → 0.10 rad drift on the closed-chain
+  # oracle test). Force along such a row does no work on the system, so
+  # deactivate it outright — MuJoCo's primal Newton solve never sees the
+  # degenerate dual direction at all.
+  active = active & (raw_diag > 1e-8 * jnp.max(raw_diag))
+  diag = jnp.clip(raw_diag, 1e-10, None)
   reg = (1.0 - imp) / imp * diag
   a0 = jmat @ qacc_smooth
+
+  tor_idx = jnp.asarray(tor_pts, dtype=jnp.int32) if tor_pts else None
+  roll_idx = jnp.asarray(roll_pts, dtype=jnp.int32) if roll_pts else None
 
   def project(f):
     if have_contacts:
@@ -361,8 +432,29 @@ def solve(m: Model, d: Data, qacc_smooth: jax.Array,
       cap = d.contact.friction * fn
       scale = jnp.where(tnorm > cap, cap / jnp.maximum(tnorm, 1e-12), 1.0)
       fc = jnp.concatenate([fn[:, None], ft * scale[:, None]], axis=-1)
-      fl = jnp.maximum(f[3 * ncon:nuni], 0.0)
-      f = jnp.concatenate([fc.reshape(-1), fl, f[nuni:]])
+      parts = [fc.reshape(-1)]
+      if nang:
+        # angular caps couple to the SAME point's normal force iterate
+        # (separate interval/disc projections — a box approximation of
+        # MuJoCo's coupled elliptic cone, fine for soft-contact MPC)
+        fa = f[3 * ncon:3 * ncon + nang]
+        if tor_pts:
+          k = len(tor_pts)
+          cap_t = d.contact.torsion[tor_idx] * fn[tor_idx]
+          parts.append(jnp.clip(fa[:k], -cap_t, cap_t))
+          fa = fa[k:]
+        if roll_pts:
+          k = len(roll_pts)
+          r1, r2 = fa[:k], fa[k:]
+          rsq = r1 * r1 + r2 * r2
+          rnorm = jnp.sqrt(jnp.where(rsq < 1e-24, 1.0, rsq))
+          rnorm = jnp.where(rsq < 1e-24, 0.0, rnorm)
+          cap_r = d.contact.roll[roll_idx] * fn[roll_idx]
+          rs = jnp.where(rnorm > cap_r,
+                         cap_r / jnp.maximum(rnorm, 1e-12), 1.0)
+          parts.extend([r1 * rs, r2 * rs])
+      fl = jnp.maximum(f[3 * ncon + nang:nuni], 0.0)
+      f = jnp.concatenate(parts + [fl, f[nuni:]])
     else:
       # unilateral rows clamp to the nonnegative orthant; bilateral
       # (equality) rows are unconstrained in sign
@@ -407,13 +499,23 @@ def solve(m: Model, d: Data, qacc_smooth: jax.Array,
   def grad(f):
     return amat @ f + reg * f + b_vec
 
-  # warm start: last step's converged dual forces (cold → diagonal-
-  # preconditioned init). Branch-free select keeps one trace.
+  # Warm start: last step's converged duals (cold → diagonal-
+  # preconditioned init; branch-free select keeps one trace). Bilateral
+  # (equality) rows are excluded from the warm start: their duals are
+  # unprojected (no cone), often stiff/near-decoupled (dual ~ 1/A_rr),
+  # and the gradient loop's scalar step ~1/λmax cannot correct a stale
+  # value along a tiny-eigenvalue direction — carrying it across steps
+  # integrates a signed force bias (observed: 0.003 → 0.10 rad drift on
+  # the closed-chain equality oracle). The per-row init (aref − a0)/D is
+  # the exact solution for a decoupled row, so equality rows re-init
+  # from it every step. Tile kernels never see bilateral rows, so the
+  # tile mirror (physics/tilestep.py) is unchanged.
   f_init = project((aref - a0) / (diag + reg))
   lam0 = d.efc_lambda
   if lam0 is not None and lam0.shape[0] == nrow:
     cold = jnp.sum(jnp.abs(lam0)) == 0
-    f0 = project(jnp.where(cold, f_init, lam0.astype(dtype)))
+    warm = jnp.where(bilat, f_init, lam0.astype(dtype))
+    f0 = project(jnp.where(cold, f_init, warm))
   else:
     f0 = f_init
 

@@ -176,6 +176,11 @@ def extract(m: Model) -> TileModel:
     # tendons/equality run on the general XLA path (solver row classes not
     # mirrored in the tile kernel)
     raise UnsupportedModel("tendons/equality constraints")
+  for g1, g2 in m.collision_pairs:
+    if max(m.geom_condim[g1], m.geom_condim[g2]) > 3:
+      # condim≥4 angular friction rows (solver.py) not mirrored in the
+      # tile kernel's 3-rows-per-contact layout
+      raise UnsupportedModel("condim > 3 contact pair")
   # mocap bodies: allowed as rollout-constant poses (kernel operands) —
   # markers/goals only; they may not collide or carry joints
   mocap_bodies = {b for b in range(m.nbody) if m.body_mocapid[b] >= 0}
@@ -1109,8 +1114,7 @@ def step_tb(tm: TileModel, qpos, qvel, ctrl, mocap_pos=None,
       Js = jnp.concatenate(Jb)  # (nrow, nv, *b) — small models only
       X = solve_vk([Js[:, k] for k in range(nv)])  # nv × (nrow, *b)
       amat = sum(Js[:, k][:, None] * X[k][None, :] for k in range(nv))
-      diag = jnp.clip(jnp.stack([amat[r_i, r_i] for r_i in range(nrow)]),
-                      1e-10, None)
+      raw_diag = jnp.stack([amat[r_i, r_i] for r_i in range(nrow)])
     else:
       # chunked diag: diag[r] = J_r · M⁻¹ J_rᵀ, one block at a time (the
       # full X would be as large as the Jacobian again)
@@ -1118,10 +1122,15 @@ def step_tb(tm: TileModel, qpos, qvel, ctrl, mocap_pos=None,
       for B in Jb:
         Xc = solve_vk([B[:, k] for k in range(nv)])
         diag_parts.append(sum(B[:, k] * Xc[k] for k in range(nv)))
-      diag = jnp.clip(jnp.concatenate(diag_parts), 1e-10, None)
+      raw_diag = jnp.concatenate(diag_parts)
+    diag = jnp.clip(raw_diag, 1e-10, None)
     reg = (1.0 - imp_s) / imp_s * diag
     a0 = jmat_vec(jnp.stack(qacc_smooth))
-    active_s = jnp.stack(rows_active)
+    # degenerate-row mask (mirrors solver.py): A_rr ≈ 0 rows — no DOF can
+    # accelerate along them — are deactivated per candidate so the dual
+    # never chases a near-singular direction
+    active_s = jnp.stack(rows_active) & (
+        raw_diag > 1e-8 * jnp.max(raw_diag, axis=0, keepdims=True))
     mu = np.asarray([cp.mu for cp in tm.con_points], dtype=np.float32)
 
     def project(f):

@@ -148,6 +148,10 @@ class Model:
   dof_jntid: Tuple[int, ...] = struct.field(pytree_node=False)
 
   geom_type: Tuple[int, ...] = struct.field(pytree_node=False)
+  # contact dimensionality per geom (1/3/4/6); a pair's condim is the max
+  # of its geoms'. Static: it decides the constraint-row layout (condim≥4
+  # adds torsional, condim 6 rolling rows — physics/solver.py)
+  geom_condim: Tuple[int, ...] = struct.field(pytree_node=False)
   geom_bodyid: Tuple[int, ...] = struct.field(pytree_node=False)
   geom_names: Tuple[str, ...] = struct.field(pytree_node=False)
   # geom → asset id (hfield id for HFIELD geoms, -1 otherwise)
@@ -340,6 +344,8 @@ class Contact:
   pos: jax.Array  # (npair, 3) midpoint
   frame: jax.Array  # (npair, 3, 3) rows: normal, tangent1, tangent2
   friction: jax.Array  # (npair,) combined sliding friction
+  torsion: jax.Array  # (npair,) combined torsional friction (condim ≥ 4)
+  roll: jax.Array  # (npair,) combined rolling friction (condim 6)
   solref: jax.Array  # (npair, 2)
   solimp: jax.Array  # (npair, 5)
   geom1: jax.Array  # (npair,) int

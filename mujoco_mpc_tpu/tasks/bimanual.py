@@ -42,12 +42,21 @@ def _gripper_frame_vec(model, data, site_name, point):
   return local * jnp.asarray([1.0, 2.0, 2.0], dtype=local.dtype)
 
 
+_GRASP_MARGIN = 0.02  # reference grasp-site margin/gap (handover task.xml:85)
+
+
 def _finger_normal(model, data, finger_geom, obj_geom):
-  """(unit mean contact normal finger→object, has_contact flag)."""
+  """(unit mean contact normal finger→object, has_contact flag).
+
+  Normals count within _GRASP_MARGIN of touch, not only at penetration:
+  the reference's grasp sensors are sphere geoms with margin=gap=0.02, so
+  its normals appear (forcelessly) during the approach — that early
+  signal is what shapes the pinch before contact. Our candidate-pair
+  slots always carry dist, so the margin is just a threshold."""
   start, count, sign = collision.geom_pair_slots(
       model, model.geom(finger_geom), model.geom(obj_geom))
   normals = data.contact.frame[start:start + count, 0, :] * sign
-  active = (data.contact.dist[start:start + count] < 0.0)
+  active = (data.contact.dist[start:start + count] < _GRASP_MARGIN)
   avg = jnp.sum(normals * active[:, None].astype(normals.dtype), axis=0)
   nrm = jnp.linalg.norm(avg)
   return avg / jnp.maximum(nrm, 1e-9), nrm > 1e-9
