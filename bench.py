@@ -188,6 +188,8 @@ def main():
     # megakernel-under-shard_map on a 1-device mesh: the multi-chip code
     # path at single-chip throughput (scale-out story composes)
     extras["sharded_walker_1024x80"] = sharded_rate()
+    extras["sharded_humanoid_256x200"] = sharded_rate(
+        "Humanoid Walk", 256, 200, iters=20)
   except Exception as e:  # flagship extras must not kill the benchmark
     extras["flagship_error"] = str(e)[:200]
   try:

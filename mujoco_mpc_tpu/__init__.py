@@ -28,10 +28,30 @@ import os as _os
 if not _os.environ.get("MJPC_TPU_NO_CACHE"):
   import jax as _jax
 
+  def _machine_key():
+    # XLA:CPU AOT executables bake in the compile host's CPU features;
+    # loading them on a host with different features is at best a SIGILL
+    # and at worst silently wrong numerics (observed: equality-constraint
+    # tests failing from a cache written by a different machine). Keying
+    # the cache dir on the CPU feature set isolates hosts; TPU entries are
+    # keyed the same way (harmless — the tunnel host rarely changes).
+    import hashlib
+    import platform
+    flags = platform.machine()
+    try:
+      with open("/proc/cpuinfo") as f:
+        for line in f:
+          if line.startswith(("flags", "Features")):
+            flags += line
+            break
+    except OSError:
+      pass
+    return hashlib.sha1(flags.encode()).hexdigest()[:10]
+
   _cache_dir = _os.environ.get(
       "MJPC_TPU_CACHE_DIR",
       _os.path.join(_os.path.expanduser("~"), ".cache", "mujoco_mpc_tpu",
-                    "xla"))
+                    "xla", _machine_key()))
   try:
     _os.makedirs(_cache_dir, exist_ok=True)
     _jax.config.update("jax_compilation_cache_dir", _cache_dir)

@@ -116,6 +116,7 @@ class Agent:
     self._jit_step = jax.jit(phys_step)
     self._jit_forward = jax.jit(phys_forward)
     self._jit_transition = jax.jit(self.task.run_transition)
+    self._jit_steps_cache = {}  # n -> fused n-step scan (see steps())
 
   # ------------------------------------------------------------- state API
   def set_state(self, qpos=None, qvel=None, time=None, act=None,
@@ -261,6 +262,44 @@ class Agent:
       df = self._jit_forward(self.sim_task.model, d)
       self._est_state = self._jit_est_update(
           self._est_state, d.ctrl, df.sensordata)
+    return d
+
+  def steps(self, n: int, ctrl_noise_std: float = 0.0,
+            ctrl_noise_rate: float = 0.1):
+    """`n` synchronous env steps fused into ONE device dispatch.
+
+    Semantically n calls to step(): a lax.scan of transition → policy
+    action → physics. Built for driving through high-latency device links
+    (a tunneled TPU adds ~10-20 ms per dispatch, and step() makes three),
+    where per-call latency — not compute — dominates a drive loop
+    (tools/drive.py). Falls back to the per-step path when an estimator
+    is attached (its update interleaves host-side) or control noise is
+    requested (OU state lives on the host, app.cc:292-304 semantics)."""
+    if self._estimator is not None or ctrl_noise_std > 0:
+      d = self.data
+      for _ in range(n):
+        d = self.step(ctrl_noise_std, ctrl_noise_rate)
+      return d
+    fn = self._jit_steps_cache.get(n)
+    if fn is None:
+      sim_model = self.sim_task.model
+
+      def run(task, policy, data):
+        def body(d, _):
+          if task.transition:
+            d = task.run_transition(d)
+          u = self.planner.action(task, policy, d)
+          return phys_step(sim_model, d.replace(ctrl=u)), None
+
+        return jax.lax.scan(body, data, None, length=n)[0]
+
+      fn = jax.jit(run)
+      self._jit_steps_cache[n] = fn
+    with self._lock:
+      task, policy = self.task, self.policy
+    d = fn(task, policy, self.data)
+    with self._lock:
+      self.data = d
     return d
 
   # ----------------------------------------------------------- estimation

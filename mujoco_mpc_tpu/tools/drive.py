@@ -72,11 +72,12 @@ def main():
   t0 = time_mod.perf_counter()
   best_returns = []
   modes_seen = set()
-  for i in range(args.steps):
-    if i % args.plan_every == 0:
-      info = agent.planner_step()
-      best_returns.append(float(info.best_return))
-    agent.step()
+  for i in range(0, args.steps, args.plan_every):
+    info = agent.planner_step()
+    best_returns.append(float(info.best_return))
+    # plan_every env steps in one fused device dispatch (Agent.steps) —
+    # per-call latency over a tunneled device dominates otherwise
+    agent.steps(min(args.plan_every, args.steps - i))
     modes_seen.add(agent.get_mode())
   wall = time_mod.perf_counter() - t0
 
