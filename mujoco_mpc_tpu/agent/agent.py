@@ -146,6 +146,7 @@ class Agent:
         "time": float(d.time), "qpos": np.asarray(d.qpos),
         "qvel": np.asarray(d.qvel), "act": np.asarray(d.act),
         "mocap_pos": np.asarray(d.mocap_pos),
+        "mocap_quat": np.asarray(d.mocap_quat),
         "userdata": np.asarray(d.userdata),
     }
 

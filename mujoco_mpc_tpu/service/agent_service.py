@@ -75,6 +75,7 @@ class AgentServicer:
         time=st["time"], qpos=st["qpos"].tolist(),
         qvel=st["qvel"].tolist(), act=st["act"].tolist(),
         mocap_pos=st["mocap_pos"].ravel().tolist(),
+        mocap_quat=st["mocap_quat"].ravel().tolist(),
         userdata=st["userdata"].tolist())
 
   def GetState(self, req, ctx) -> pb.GetStateResponse:

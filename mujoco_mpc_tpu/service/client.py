@@ -107,7 +107,7 @@ class AgentClient:
 
   # ------------------------------------------------------------------- API
   def set_state(self, qpos=None, qvel=None, time=None, act=None,
-                mocap_pos=None, userdata=None):
+                mocap_pos=None, mocap_quat=None, userdata=None):
     s = pb.State()
     if time is not None:
       s.time = time
@@ -117,12 +117,16 @@ class AgentClient:
         getattr(s, field).extend(np.asarray(val).ravel().tolist())
     if mocap_pos is not None:
       s.mocap_pos.extend(np.asarray(mocap_pos).ravel().tolist())
+    if mocap_quat is not None:
+      s.mocap_quat.extend(np.asarray(mocap_quat).ravel().tolist())
     self._set_state(pb.SetStateRequest(state=s))
 
   def get_state(self) -> dict:
     st = self._get_state(pb.GetStateRequest()).state
     return {"time": st.time, "qpos": np.asarray(st.qpos),
             "qvel": np.asarray(st.qvel), "act": np.asarray(st.act),
+            "mocap_pos": np.asarray(st.mocap_pos).reshape(-1, 3),
+            "mocap_quat": np.asarray(st.mocap_quat).reshape(-1, 4),
             "userdata": np.asarray(st.userdata)}
 
   def get_action(self, time: float = -1.0, averaging_duration: float = 0.0,

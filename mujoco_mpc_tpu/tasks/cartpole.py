@@ -20,6 +20,8 @@ def residual(model, data, params):
 
 @registry.register("Cartpole")
 def make(dtype=jnp.float32) -> base.Task:
-  model, spec, params, pnames = registry.load_task_model("cartpole.xml", dtype)
+  from mujoco_mpc_tpu.tasks import dm_suite
+  model, spec, params, pnames = registry.load_task_model_from_builder(
+      dm_suite.build_cartpole, dtype)
   return base.Task(name="Cartpole", model=model, spec=spec, params=params,
                    residual=residual, param_names=pnames)

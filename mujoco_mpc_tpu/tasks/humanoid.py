@@ -1,5 +1,9 @@
 """Humanoid stand and walk (reference: mjpc/tasks/humanoid/{stand,walk}).
 
+Runs on the full-DOF dm_control humanoid (nq=28, nv=27, nu=21, hamstring
+tendons — the same model the reference builds from dm_control at compile
+time; see tasks/dm_suite.py), not a reduced stand-in.
+
 The walk residual mirrors walk.cc:44-160 term by term: torso height,
 pelvis-feet alignment, capture-point balance projected onto the inter-foot
 segment, upright (torso/pelvis/both feet), posture, walk-forward speed,
@@ -27,7 +31,7 @@ def residual(model, data, params):
   balance_time = params[2]
   torso = model.body("torso")
   pelvis = model.body("pelvis")
-  waist = model.body("waist")
+  waist = model.body("lower_waist")
   rfoot = model.body("right_foot")
   lfoot = model.body("left_foot")
 
@@ -92,13 +96,8 @@ def residual(model, data, params):
                                data.xipos[lfoot]))[:2]
   move_feet = standing * (com_vel - 0.5 * rfoot_vel - 0.5 * lfoot_vel)
 
-  # ----- control (walk.cc:165-167; position-actuated here, so relative
-  # to the home pose instead of raw torques). Per-element scalar constants:
-  # Pallas rejects captured array constants, scalars are inlined -----
-  import numpy as np
-  home_ctrl = np.asarray(model.keyframe("home")[2], dtype=np.float32)
-  control = jnp.stack([data.ctrl[i] - float(home_ctrl[i])
-                       for i in range(int(model.nu))])
+  # ----- control (walk.cc:165-167): raw motor torque commands -----
+  control = data.ctrl
 
   return jnp.concatenate([
       height[None], pelvis_feet[None], balance, upright, posture,
@@ -107,8 +106,9 @@ def residual(model, data, params):
 
 
 def _make(name, speed, dtype):
-  model, spec, params, pnames = registry.load_task_model(
-      "humanoid.xml", dtype)
+  from mujoco_mpc_tpu.tasks import dm_suite
+  model, spec, params, pnames = registry.load_task_model_from_builder(
+      dm_suite.build_humanoid, dtype)
   task = base.Task(name=name, model=model, spec=spec, params=params,
                    residual=residual, param_names=pnames)
   return task.set_parameter("Speed", speed)

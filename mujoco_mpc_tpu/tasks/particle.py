@@ -12,7 +12,7 @@ from mujoco_mpc_tpu.tasks import base, registry
 
 
 def residual(model, data, params):
-  pos = data.site_xpos[0][:2]
+  pos = data.site_xpos[model.site("tip")][:2]
   goal = data.mocap_pos[0][:2]
   return jnp.concatenate([
       pos - goal,
@@ -30,7 +30,9 @@ def transition(model, data, params):
 
 @registry.register("Particle")
 def make(dtype=jnp.float32) -> base.Task:
-  model, spec, params, pnames = registry.load_task_model("particle.xml", dtype)
+  from mujoco_mpc_tpu.tasks import dm_suite
+  model, spec, params, pnames = registry.load_task_model_from_builder(
+      dm_suite.build_particle, dtype)
   return base.Task(name="Particle", model=model, spec=spec, params=params,
                    residual=residual, transition=transition,
                    param_names=pnames)
@@ -39,6 +41,8 @@ def make(dtype=jnp.float32) -> base.Task:
 @registry.register("ParticleFixed")
 def make_fixed(dtype=jnp.float32) -> base.Task:
   """Fixed-goal variant (reference ParticleFixed): no transition FSM."""
-  model, spec, params, pnames = registry.load_task_model("particle.xml", dtype)
+  from mujoco_mpc_tpu.tasks import dm_suite
+  model, spec, params, pnames = registry.load_task_model_from_builder(
+      dm_suite.build_particle, dtype)
   return base.Task(name="ParticleFixed", model=model, spec=spec,
                    params=params, residual=residual, param_names=pnames)

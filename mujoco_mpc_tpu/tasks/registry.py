@@ -49,6 +49,17 @@ def load_task_model(xml_name: str, dtype=jnp.float32, mutate=None):
   return model, spec, params, names
 
 
+def load_task_model_from_builder(builder, dtype=jnp.float32):
+  """(Model, CostSpec, TaskParams, param_names) from a programmatic model
+  builder (tasks/dm_suite.py: dm_control MJCF + reference patch semantics
+  applied via MjSpec, the load-time analogue of the reference's build-time
+  asset pipeline, mjpc/tasks/CMakeLists.txt:19-50)."""
+  mj_model = builder()
+  model = phys_io.from_mjmodel(mj_model, dtype=dtype)
+  spec, params, names = base.parse_cost_spec_mj(mj_model, model, dtype=dtype)
+  return model, spec, params, names
+
+
 # import task modules for registration side effects
 def _register_all():
   from mujoco_mpc_tpu.tasks import acrobot  # noqa: F401

@@ -15,7 +15,9 @@ def residual(model, data, params):
   height = data.xpos[torso, 2]
   # torso z-axis in world: upright when pointing up
   upright = data.xmat[torso, 2, 2]
-  vx = data.qvel[0]
+  # forward (x) root velocity by joint name: dm_control's walker orders the
+  # root joints rootz/rootx/rooty
+  vx = data.qvel[model.jnt_dofadr[model.joint("rootx")]]
   return jnp.concatenate([
       (height - height_goal)[None],
       (upright - 1.0)[None],
@@ -26,6 +28,8 @@ def residual(model, data, params):
 
 @registry.register("Walker")
 def make(dtype=jnp.float32) -> base.Task:
-  model, spec, params, pnames = registry.load_task_model("walker.xml", dtype)
+  from mujoco_mpc_tpu.tasks import dm_suite
+  model, spec, params, pnames = registry.load_task_model_from_builder(
+      dm_suite.build_walker, dtype)
   return base.Task(name="Walker", model=model, spec=spec, params=params,
                    residual=residual, param_names=pnames)

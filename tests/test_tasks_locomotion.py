@@ -116,7 +116,7 @@ def test_humanoid_walk_residual_structure():
   task = registry.get_task("Humanoid Walk")
   d = _home_data(task)
   r = task.residual(task.model, d, task.params.residual_params)
-  assert r.shape == (task.spec.nresidual,) == (43,)
+  assert r.shape == (task.spec.nresidual,) == (57,)  # full-DOF humanoid
   assert bool(jnp.all(jnp.isfinite(r)))
   # standing at home: capture point inside the support segment → balance ≈ 0
   assert float(jnp.linalg.norm(r[2:4])) < 0.1
