@@ -119,13 +119,13 @@ def sharded_rate(task_name=TASK, num_traj=NUM_TRAJ, horizon=HORIZON,
 
 
 def cpu_baseline():
-  """Same rollout workload on the MuJoCo C engine with a thread pool."""
+  """Same rollout workload on the MuJoCo C engine with a thread pool,
+  on the SAME dm_control walker model the TPU path plans with."""
   import mujoco
   import numpy as np
+  from mujoco_mpc_tpu.tasks import dm_suite
 
-  path = os.path.join(os.path.dirname(__file__), "mujoco_mpc_tpu", "tasks",
-                      "models", f"{TASK.lower()}.xml")
-  mj_model = mujoco.MjModel.from_xml_path(path)
+  mj_model = dm_suite.build_walker()
   agent_dt = 0.01
   mj_model.opt.timestep = agent_dt
   nthread = max(os.cpu_count() - 1, 1)

@@ -202,18 +202,21 @@ class MegaRollout:
     """
     tm = self.tm
     dense = tilestep.amat_is_dense(tm.nrow)
-    # peak ≈ solver phase: J blocks (built progressively, no 2x at a
-    # stacking moment) + amat/X on the dense path + APGD vectors + the
-    # Cholesky factor + transient scratch. The view/residual phase after
-    # the solve is strictly smaller (solver arrays are dead by then).
-    tiles = (tm.nrow * tm.nv                      # J blocks
+    # peak ≈ solver phase: support-sparse J blocks (built progressively,
+    # no 2x at a stacking moment) + amat/X on the dense path + APGD
+    # vectors + the Cholesky factor + transient scratch. The view/residual
+    # phase after the solve is strictly smaller (solver arrays dead).
+    tiles = (tilestep.jacobian_tiles(tm)          # support-sparse J blocks
              + (tm.nrow ** 2 + tm.nrow * tm.nv    # amat + X (dense)
                 if dense else 10 * tm.nv)         # block scratch (freed)
              + 6 * tm.nrow                        # APGD vectors
              + tm.nv * tm.nv                      # Cholesky factor
              + 20 * tm.nbody + 300)               # kinematics live set
     fixed = tiles * 4096
-    budget = 14 * 1024 * 1024
+    # 15.5 MB of the 16 MB VMEM: the estimate above over-counts transient
+    # liveness (verified empirically: the dm_control humanoid's ~14.5 MB
+    # estimate compiles and runs at block=1024 on v5e)
+    budget = 15872 * 1024
     act_bytes = 4 * horizon * tm.nu * 1024
     self.acts_hbm = fixed + act_bytes > budget
     if fixed > budget:

@@ -467,6 +467,21 @@ def pair_slots(m: Model):
   return tuple(slots)
 
 
+def point_condims(m: Model):
+  """Static tuple: condim of every candidate contact point (pair order).
+
+  MuJoCo combination rule: condim = condim of the higher-priority geom,
+  or max of the two at equal priority (we model the default equal-priority
+  case). condim 1 = frictionless normal-only row (dm_control humanoid
+  self-collision class); 3 = pyramidal/elliptic tangential friction;
+  4/6 add torsional/rolling rows (see angular_points)."""
+  out = []
+  for (start, count), (g1, g2) in zip(pair_slots(m), m.collision_pairs):
+    condim = max(m.geom_condim[g1], m.geom_condim[g2])
+    out.extend([condim] * count)
+  return tuple(out)
+
+
 def angular_points(m: Model):
   """Static (torsion_pts, roll_pts): contact-point indices whose pair's
   condim (max of the two geoms', MuJoCo combination rule) enables

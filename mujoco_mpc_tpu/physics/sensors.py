@@ -43,6 +43,59 @@ def cross0(a, b):
                     a[0] * b[1] - a[1] * b[0]])
 
 
+def dot0(a, b):
+  """Dot product over leading axis 0 (layout-polymorphic, see cross0)."""
+  return sum(a[i] * b[i] for i in range(a.shape[0]))
+
+
+def norm0(a, eps=1e-24):
+  """Euclidean norm over leading axis 0 (layout-polymorphic)."""
+  return jnp.sqrt(jnp.maximum(dot0(a, a), eps))
+
+
+def mat_tvec0(mat, v):
+  """Mᵀ·v with matrix axes leading: mat (3, 3, ...), v (3, ...)."""
+  return jnp.stack([sum(mat[k, i] * v[k] for k in range(3))
+                    for i in range(3)])
+
+
+def sub_const0(x, c):
+  """x − c over leading axis 0, where c is either a numpy model constant
+  (folded per element — Pallas rejects captured array constants) or a
+  traced model leaf (general jit path)."""
+  import numpy as np
+  if isinstance(c, np.ndarray):
+    return jnp.stack([x[i] - float(c[i]) for i in range(x.shape[0])])
+  return x - c.reshape(c.shape + (1,) * (x.ndim - 1))
+
+
+def quat_mul0(u, v):
+  """Quaternion product over leading axis 0 (layout-polymorphic —
+  residuals must use these, not physics.math's trailing-axis ops, to run
+  inside the tile megakernel; cf tasks/quadruped.py)."""
+  w1, x1, y1, z1 = u[0], u[1], u[2], u[3]
+  w2, x2, y2, z2 = v[0], v[1], v[2], v[3]
+  return jnp.stack([
+      w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+      w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+      w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+      w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+  ])
+
+
+def quat_sub0(qa, qb):
+  """Tangent-space orientation error of qa relative to qb, (3, ...).
+
+  Sin-weighted surrogate 2·sign(w)·vec(qb⁻¹⊗qa) = axis·2·sin(θ/2): the
+  exact log map (math.quat_sub) needs atan2, which has no Mosaic TPU
+  lowering. Equal to the rotation vector to O(θ³), monotone in θ on
+  [0, π] — a cost-shaping equivalent for tracking residuals."""
+  qbc = jnp.stack([qb[0], -qb[1], -qb[2], -qb[3]])
+  dq = quat_mul0(qbc, qa)
+  s = jnp.where(dq[0] < 0, -2.0, 2.0)  # shortest path
+  return jnp.stack([dq[1] * s, dq[2] * s, dq[3] * s])
+
+
 def _pyscalar(x):
   """Python float for concrete values, tracer passthrough.
 

@@ -261,14 +261,15 @@ def _equality_rows(m: Model, d: Data):
 def nrow_static(m: Model) -> int:
   """Total constraint-row count for the model (static; warm-start shape).
 
-  Layout must mirror solve(): [3·ncon contacts, angular friction rows
-  (1 torsional per condim≥4 point + 2 rolling per condim-6 point), joint
-  limits (2 per scalar + 1 per ball), tendon limits (2 each), equality
-  rows]."""
+  Layout must mirror solve(): [contact rows (1 row per condim-1 point,
+  3 per condim≥3 point, point order), angular friction rows (1 torsional
+  per condim≥4 point + 2 rolling per condim-6 point), joint limits
+  (2 per scalar + 1 per ball), tendon limits (2 each), equality rows]."""
   from mujoco_mpc_tpu.physics import collision
   from mujoco_mpc_tpu.physics.types import EqType
 
-  ncon = collision.npoints(m) if len(m.collision_pairs) else 0
+  ncon_rows = (sum(1 if c == 1 else 3 for c in collision.point_condims(m))
+               if len(m.collision_pairs) else 0)
   tor_pts, roll_pts = (collision.angular_points(m)
                        if len(m.collision_pairs) else ((), ()))
   nang = len(tor_pts) + 2 * len(roll_pts)
@@ -283,7 +284,7 @@ def nrow_static(m: Model) -> int:
     if m.eq_active0[e]:
       neq_rows += {EqType.CONNECT: 3, EqType.WELD: 6,
                    EqType.JOINT: 1}[m.eq_type[e]]
-  return 3 * ncon + nang + nlim + neq_rows
+  return ncon_rows + nang + nlim + neq_rows
 
 
 def solve(m: Model, d: Data, qacc_smooth: jax.Array,
@@ -295,22 +296,45 @@ def solve(m: Model, d: Data, qacc_smooth: jax.Array,
     chol_factor: lower Cholesky factor (ops.linalg.chol_factor) of the
       (implicit-damping-augmented) inertia.
   """
+  import numpy as np
+
   dtype = d.qpos.dtype
   ncon = d.contact.dist.shape[0]
   have_contacts = len(m.collision_pairs) > 0
 
   j_blocks, pos_list, solref_list, solimp_list = [], [], [], []
   tor_pts, roll_pts = (), ()
+  ncrow = 0
+  nrm_idx = t1_idx = t2_idx = fric_arr = None
   if have_contacts:
+    from mujoco_mpc_tpu.physics import collision as collision_mod
+    # variable rows per point: condim-1 points (frictionless, e.g. the
+    # dm_control humanoid self-collision class) contribute only their
+    # normal row; condim≥3 add the two tangential rows (MuJoCo
+    # mj_instantiateContact row counts). All index maps are static.
+    cd = collision_mod.point_condims(m)
+    sel = (np.concatenate(
+        [np.arange(3 * i, 3 * i + (1 if cd[i] == 1 else 3))
+         for i in range(ncon)]).astype(np.int32)
+        if ncon else np.zeros((0,), np.int32))
+    ncrow = len(sel)
+    # row index of each point's normal row; tangent rows follow it
+    nrm_np = np.cumsum([0] + [1 if cd[i] == 1 else 3
+                              for i in range(ncon)])[:-1].astype(np.int32)
+    fric_pts = [i for i in range(ncon) if cd[i] >= 3]
+    nrm_idx = jnp.asarray(nrm_np)
+    fric_arr = jnp.asarray(np.asarray(fric_pts, np.int32))
+    t1_idx = jnp.asarray(nrm_np[fric_pts] + 1) if fric_pts else None
+    t2_idx = jnp.asarray(nrm_np[fric_pts] + 2) if fric_pts else None
     jc = _contact_jacobian(m, d)  # (npt, 3, nv)
-    j_blocks.append(jc.reshape(-1, m.nv))
-    # position term only on the normal row
-    pos3 = jnp.stack([d.contact.dist,
-                      jnp.zeros_like(d.contact.dist),
-                      jnp.zeros_like(d.contact.dist)], axis=-1)
-    pos_list.append(pos3.reshape(-1))
-    solref_list.append(jnp.repeat(d.contact.solref, 3, axis=0))
-    solimp_list.append(jnp.repeat(d.contact.solimp, 3, axis=0))
+    j_blocks.append(jc.reshape(-1, m.nv)[sel])
+    # every row of a contact carries the contact distance (MuJoCo
+    # mj_instantiateContact: shared efc_pos → shared impedance); the
+    # POSITION TERM in aref is later masked to the normal row (norm_row)
+    pos3 = jnp.stack([d.contact.dist] * 3, axis=-1)
+    pos_list.append(pos3.reshape(-1)[sel])
+    solref_list.append(jnp.repeat(d.contact.solref, 3, axis=0)[sel])
+    solimp_list.append(jnp.repeat(d.contact.solimp, 3, axis=0)[sel])
 
     # angular friction rows for condim ≥ 4 pairs (static point lists):
     # one torsional row (about the normal) per condim≥4 point, two
@@ -321,13 +345,13 @@ def solve(m: Model, d: Data, qacc_smooth: jax.Array,
     if tor_pts:
       j_blocks.append(_angular_rows(m, d, tor_pts, [0]))
       ti = jnp.asarray(tor_pts, dtype=jnp.int32)
-      pos_list.append(jnp.zeros((len(tor_pts),), dtype=dtype))
+      pos_list.append(d.contact.dist[ti])  # shared impedance (see above)
       solref_list.append(d.contact.solref[ti])
       solimp_list.append(d.contact.solimp[ti])
     if roll_pts:
       j_blocks.append(_angular_rows(m, d, roll_pts, [1, 2]))
       ri = jnp.asarray(roll_pts, dtype=jnp.int32)
-      pos_list.append(jnp.zeros((2 * len(roll_pts),), dtype=dtype))
+      pos_list.append(jnp.tile(d.contact.dist[ri], 2))
       solref_list.append(jnp.tile(d.contact.solref[ri], (2, 1)))
       solimp_list.append(jnp.tile(d.contact.solimp[ri], (2, 1)))
   nang = len(tor_pts) + 2 * len(roll_pts)
@@ -370,20 +394,22 @@ def solve(m: Model, d: Data, qacc_smooth: jax.Array,
   # rows); equality rows are always active (bilateral soft constraints)
   eq_active = jnp.ones((neq_rows,), bool)
   if have_contacts:
-    con_active = jnp.repeat(d.contact.dist < 0, 3)
+    con_active = jnp.repeat(d.contact.dist < 0, 3)[sel]
     ang_active = []
     if tor_pts:
       ang_active.append(d.contact.dist[jnp.asarray(tor_pts)] < 0)
     if roll_pts:
       ang_active.append(
           jnp.tile(d.contact.dist[jnp.asarray(roll_pts)] < 0, 2))
-    lim_active = (pos[3 * ncon + nang:nuni] < 0) if nlim \
+    lim_active = (pos[ncrow + nang:nuni] < 0) if nlim \
         else jnp.zeros((0,), bool)
     active = jnp.concatenate(
         [con_active, *ang_active, lim_active, eq_active])
     # friction rows (tangential + angular) have no positional error
+    nr_np = np.zeros((ncrow,), bool)
+    nr_np[nrm_np] = True
     norm_row = jnp.concatenate([
-        jnp.tile(jnp.asarray([True, False, False]), ncon),
+        jnp.asarray(nr_np),
         jnp.zeros((nang,), bool),
         jnp.ones((nlim + neq_rows,), bool)])
   else:
@@ -420,46 +446,83 @@ def solve(m: Model, d: Data, qacc_smooth: jax.Array,
 
   tor_idx = jnp.asarray(tor_pts, dtype=jnp.int32) if tor_pts else None
   roll_idx = jnp.asarray(roll_pts, dtype=jnp.int32) if roll_pts else None
+  ntor = len(tor_pts)
+  nroll = len(roll_pts)
 
-  def project(f):
+  # ---- Jacobi preconditioning. Angular rows have Delassus diagonals
+  # ~1/inertia vs the normal rows' ~1/mass — a condition number in the
+  # thousands for any box-scale object (measured: λmax 192k vs the
+  # normal-row modes' ~200 for a 5 cm box). Unpreconditioned, the APGD
+  # step collapses to 1/λmax and the dual FREEZES at its warm start,
+  # pumping energy (resting condim-4 box bounced to z = 0.2). Solve in
+  # g = f/s with s = 1/sqrt(diag+reg): the scaled operator has unit
+  # diagonal, κ drops to O(1). Scales are TIED within each tangent and
+  # rolling pair so the friction cone stays circular — scaling then just
+  # rescales μ (standard P-APGD contact treatment).
+  dr = diag + reg
+  dr_s = dr
+  if t1_idx is not None:
+    mt = 0.5 * (dr[t1_idx] + dr[t2_idx])
+    dr_s = dr_s.at[t1_idx].set(mt).at[t2_idx].set(mt)
+  if nroll:
+    r1_idx = jnp.arange(ncrow + ntor, ncrow + ntor + nroll)
+    r2_idx = r1_idx + nroll
+    mr = 0.5 * (dr[r1_idx] + dr[r2_idx])
+    dr_s = dr_s.at[r1_idx].set(mr).at[r2_idx].set(mr)
+  s_pre = 1.0 / jnp.sqrt(jnp.clip(dr_s, 1e-12, None))  # (nrow,)
+  # cone coefficients in scaled coordinates: μ̃ = μ·s_normal/s_friction
+  if have_contacts:
+    s_n = s_pre[nrm_idx]  # (ncon,)
+    if t1_idx is not None:
+      mu_t = (d.contact.friction[fric_arr] * s_n[fric_arr]
+              / s_pre[t1_idx])
+    if ntor:
+      mu_tor = (d.contact.torsion[tor_idx] * s_n[tor_idx]
+                / s_pre[ncrow + jnp.arange(ntor)])
+    if nroll:
+      mu_roll = (d.contact.roll[roll_idx] * s_n[roll_idx]
+                 / s_pre[r1_idx])
+
+  def project(g):
+    """Projection in preconditioned coordinates (caps use scaled μ)."""
     if have_contacts:
-      fc = f[:3 * ncon].reshape(ncon, 3)
-      fn = jnp.maximum(fc[:, 0], 0.0)
-      ft = fc[:, 1:]
-      tsq = jnp.sum(ft * ft, axis=-1)
-      tnorm = jnp.sqrt(jnp.where(tsq < 1e-24, 1.0, tsq))
-      tnorm = jnp.where(tsq < 1e-24, 0.0, tnorm)
-      cap = d.contact.friction * fn
-      scale = jnp.where(tnorm > cap, cap / jnp.maximum(tnorm, 1e-12), 1.0)
-      fc = jnp.concatenate([fn[:, None], ft * scale[:, None]], axis=-1)
-      parts = [fc.reshape(-1)]
+      gn = jnp.maximum(g[nrm_idx], 0.0)  # (ncon,) point order
+      blk = jnp.zeros((ncrow,), dtype).at[nrm_idx].set(gn)
+      if t1_idx is not None:
+        gt1, gt2 = g[t1_idx], g[t2_idx]
+        tsq = gt1 * gt1 + gt2 * gt2
+        tnorm = jnp.sqrt(jnp.where(tsq < 1e-24, 1.0, tsq))
+        tnorm = jnp.where(tsq < 1e-24, 0.0, tnorm)
+        cap = mu_t * gn[fric_arr]
+        scale = jnp.where(tnorm > cap, cap / jnp.maximum(tnorm, 1e-12),
+                          1.0)
+        blk = blk.at[t1_idx].set(gt1 * scale).at[t2_idx].set(gt2 * scale)
+      parts = [blk]
       if nang:
         # angular caps couple to the SAME point's normal force iterate
         # (separate interval/disc projections — a box approximation of
         # MuJoCo's coupled elliptic cone, fine for soft-contact MPC)
-        fa = f[3 * ncon:3 * ncon + nang]
-        if tor_pts:
-          k = len(tor_pts)
-          cap_t = d.contact.torsion[tor_idx] * fn[tor_idx]
-          parts.append(jnp.clip(fa[:k], -cap_t, cap_t))
-          fa = fa[k:]
-        if roll_pts:
-          k = len(roll_pts)
-          r1, r2 = fa[:k], fa[k:]
+        ga = g[ncrow:ncrow + nang]
+        if ntor:
+          cap_t = mu_tor * gn[tor_idx]
+          parts.append(jnp.clip(ga[:ntor], -cap_t, cap_t))
+          ga = ga[ntor:]
+        if nroll:
+          r1, r2 = ga[:nroll], ga[nroll:]
           rsq = r1 * r1 + r2 * r2
           rnorm = jnp.sqrt(jnp.where(rsq < 1e-24, 1.0, rsq))
           rnorm = jnp.where(rsq < 1e-24, 0.0, rnorm)
-          cap_r = d.contact.roll[roll_idx] * fn[roll_idx]
+          cap_r = mu_roll * gn[roll_idx]
           rs = jnp.where(rnorm > cap_r,
                          cap_r / jnp.maximum(rnorm, 1e-12), 1.0)
           parts.extend([r1 * rs, r2 * rs])
-      fl = jnp.maximum(f[3 * ncon + nang:nuni], 0.0)
-      f = jnp.concatenate(parts + [fl, f[nuni:]])
+      fl = jnp.maximum(g[ncrow + nang:nuni], 0.0)
+      g = jnp.concatenate(parts + [fl, g[nuni:]])
     else:
       # unilateral rows clamp to the nonnegative orthant; bilateral
       # (equality) rows are unconstrained in sign
-      f = jnp.where(bilat, f, jnp.maximum(f, 0.0))
-    return jnp.where(active, f, 0.0)
+      g = jnp.where(bilat, g, jnp.maximum(g, 0.0))
+    return jnp.where(active, g, 0.0)
 
   # Accelerated projected gradient (APGD, the standard parallel scheme for
   # contact QPs) on MuJoCo's regularized dual:
@@ -472,22 +535,24 @@ def solve(m: Model, d: Data, qacc_smooth: jax.Array,
   # non-monotone steps.
   b_vec = a0 - aref
 
-  # Step size = 1/λmax(A+R). Rule matches the tile megakernel per model
-  # (physics/tilestep.py) so general and tile paths share one iterate
-  # sequence: Gershgorin row sums when the tile path materializes A
-  # (cheap there), power iteration when the tile path is matrix-free
-  # (row sums of |A| would need A). The 1.25 factor covers the Rayleigh
-  # quotient's underestimate; Nesterov restart absorbs the rest.
+  # Step size = 1/λmax(Ã) on the PRECONDITIONED operator
+  # Ã = S(A+R)S, S = diag(s_pre). Rule matches the tile megakernel per
+  # model (physics/tilestep.py) so general and tile paths share one
+  # iterate sequence: Gershgorin row sums when the tile path materializes
+  # A (cheap there), power iteration when the tile path is matrix-free.
+  # The 1.25 factor covers the Rayleigh quotient's underestimate;
+  # Nesterov restart absorbs the rest.
   from mujoco_mpc_tpu.physics.tilestep import amat_is_dense
   if amat_is_dense(nrow):
-    row_sum = jnp.sum(jnp.abs(amat), axis=-1) + reg
+    row_sum = s_pre * (jnp.abs(amat) @ s_pre) + s_pre * s_pre * reg
     step = 1.0 / jnp.maximum(
         jnp.max(jnp.where(active, row_sum, 0.0)), 1e-8)
   else:
     def opmul(v):
-      """(A + R) v restricted to active rows (inactive f pinned at 0)."""
+      """Ã v restricted to active rows (inactive g pinned at 0)."""
       v = jnp.where(active, v, 0.0)
-      return jnp.where(active, amat @ v + reg * v, 0.0)
+      sv = s_pre * v
+      return jnp.where(active, s_pre * (amat @ sv + reg * sv), 0.0)
 
     v = jnp.where(active, 1.0, 0.0).astype(dtype)
     for _ in range(_POWER_ITERS):
@@ -496,8 +561,9 @@ def solve(m: Model, d: Data, qacc_smooth: jax.Array,
     lam = jnp.sum(v * opmul(v))
     step = 1.0 / jnp.maximum(1.25 * lam, 1e-8)
 
-  def grad(f):
-    return amat @ f + reg * f + b_vec
+  def grad(g):
+    f = s_pre * g
+    return s_pre * (amat @ f + reg * f + b_vec)
 
   # Warm start: last step's converged duals (cold → diagonal-
   # preconditioned init; branch-free select keeps one trace). Bilateral
@@ -510,39 +576,53 @@ def solve(m: Model, d: Data, qacc_smooth: jax.Array,
   # the exact solution for a decoupled row, so equality rows re-init
   # from it every step. Tile kernels never see bilateral rows, so the
   # tile mirror (physics/tilestep.py) is unchanged.
-  f_init = project((aref - a0) / (diag + reg))
+  # per-row exact init, in scaled coordinates: g_init = f_init / s
+  g_init = project((aref - a0) / (diag + reg) / s_pre)
   lam0 = d.efc_lambda
   if lam0 is not None and lam0.shape[0] == nrow:
     cold = jnp.sum(jnp.abs(lam0)) == 0
-    warm = jnp.where(bilat, f_init, lam0.astype(dtype))
-    f0 = project(jnp.where(cold, f_init, warm))
+    # angular (torsional/rolling) rows are ALSO excluded from the warm
+    # start: a flat box-on-plane contact instantiates several corner
+    # points whose angular rows share one Jacobian, so their duals are
+    # non-unique — warm-starting a non-unique dual integrates drift
+    # across steps. Same rationale as the bilateral exclusion below.
+    nw_np = np.zeros((nrow,), bool)
+    nw_np[ncrow:ncrow + nang] = True
+    no_warm = jnp.asarray(nw_np) | bilat
+    warm = jnp.where(no_warm, g_init, lam0.astype(dtype) / s_pre)
+    g0 = project(jnp.where(cold, g_init, warm))
   else:
-    f0 = f_init
+    g0 = g_init
 
   def body(_, carry):
-    f, y, t = carry
-    f_new = project(y - step * grad(y))
+    g, y, t = carry
+    g_new = project(y - step * grad(y))
     t_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * t * t))
     beta = (t - 1.0) / t_new
     # restart momentum when the step reverses direction (Nesterov restart)
-    df = f_new - f
-    reverse = jnp.sum(df * (y - f_new)) > 0
-    y_new = jnp.where(reverse, f_new, f_new + beta * df)
+    dg = g_new - g
+    reverse = jnp.sum(dg * (y - g_new)) > 0
+    y_new = jnp.where(reverse, g_new, g_new + beta * dg)
     t_new = jnp.where(reverse, 1.0, t_new)
-    return f_new, y_new, t_new
+    return g_new, y_new, t_new
 
   # data-derived momentum init: under shard_map the loop carry must have
   # a consistent varying-axis type (a literal 1.0 is replicated while the
   # in-loop restart value is varying — the VMA checker rejects the mix)
-  t_init = 1.0 + 0.0 * jnp.sum(f0)
-  f, _, _ = jax.lax.fori_loop(0, _ITERATIONS, body, (f0, f0, t_init))
+  t_init = 1.0 + 0.0 * jnp.sum(g0)
+  g, _, _ = jax.lax.fori_loop(0, _ITERATIONS, body, (g0, g0, t_init))
+  f = s_pre * g  # back to physical dual forces
 
   qfrc = jmat.T @ f
   lam_out = (f.astype(d.efc_lambda.dtype)
              if d.efc_lambda is not None and d.efc_lambda.shape[0] == nrow
              else d.efc_lambda)
   if have_contacts:
-    contact = d.contact.replace(force=f[:3 * ncon].reshape(ncon, 3))
+    force = jnp.zeros((ncon, 3), dtype).at[:, 0].set(f[nrm_idx])
+    if t1_idx is not None:
+      force = force.at[fric_arr, 1].set(f[t1_idx])
+      force = force.at[fric_arr, 2].set(f[t2_idx])
+    contact = d.contact.replace(force=force)
     return d.replace(qfrc_constraint=qfrc, contact=contact,
                      efc_lambda=lam_out)
   return d.replace(qfrc_constraint=qfrc, efc_lambda=lam_out)

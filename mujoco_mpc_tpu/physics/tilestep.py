@@ -46,6 +46,56 @@ def amat_is_dense(nrow: int) -> bool:
   return nrow * nrow * 4096 <= 4 * 1024 * 1024
 
 
+def jacobian_tiles(tm: "TileModel") -> int:
+  """Static tile count of step_tb's support-sparse J blocks (layout
+  mirror, no tracing) — the VMEM driver for megarollout._pick_block."""
+  def con_sup(cp):
+    return {k for k in range(tm.nv)
+            if bool(tm.dof_body_mask[k, cp.body1])
+            != bool(tm.dof_body_mask[k, cp.body2])}
+
+  rows = []
+  for cp in tm.con_points:
+    if cp.condim >= 3:
+      rows += [con_sup(cp)] * 3
+  for cp in tm.con_points:
+    if cp.condim == 1:
+      rows.append(con_sup(cp))
+  for cp in tm.con_points:
+    if cp.condim >= 4:
+      rows.append(con_sup(cp))
+  for _ in range(2):
+    for cp in tm.con_points:
+      if cp.condim >= 6:
+        rows.append(con_sup(cp))
+  for li in range(len(tm.lim_jnt)):
+    rows += [{tm.lim_vadr[li]}] * 2
+  for t in tm.ten_lim:
+    rows += [{v for _, v, _ in tm.ten_wraps[t]}] * 2
+  for er in tm.eq_rows:
+    if er.kind == 2:
+      s = {tm.jnt_dofadr[er.ob1]}
+      if er.ob2 >= 0:
+        s.add(tm.jnt_dofadr[er.ob2])
+      rows.append(s)
+    else:
+      either = {k for k in range(tm.nv)
+                if tm.dof_body_mask[k, er.ob1]
+                or tm.dof_body_mask[k, er.ob2]}
+      rows += [either] * 3
+      if er.kind == 1:
+        xor = {k for k in range(tm.nv)
+               if bool(tm.dof_body_mask[k, er.ob1])
+               != bool(tm.dof_body_mask[k, er.ob2])}
+        rows += [xor] * 3
+  total = 0
+  for r0 in range(0, len(rows), 8):
+    blk = rows[r0:r0 + 8]
+    sup = set().union(*blk) or {0}
+    total += len(blk) * len(sup)
+  return total
+
+
 # ---------------------------------------------------------------------------
 # build-time extraction: all model constants as concrete numpy
 # ---------------------------------------------------------------------------
@@ -76,6 +126,24 @@ class ConPoint:
   size2: Optional[np.ndarray] = None  # (3,) full box size of g2
   corner: Optional[np.ndarray] = None  # (3,) ±1 corner selector (box kinds)
   owner: int = 0  # boxbox_corner: 1 = corner of box1, 2 = corner of box2
+  condim: int = 3  # 1 = normal row only; 4/6 add torsional/rolling rows
+  mu_tor: float = 0.0  # torsional friction coefficient (condim ≥ 4)
+  mu_roll: float = 0.0  # rolling friction coefficient (condim = 6)
+
+
+@dataclasses.dataclass
+class EqRow:
+  """One equality constraint (bilateral soft rows, solver._equality_rows)."""
+  kind: int  # types.EqType value
+  ob1: int  # body id (connect/weld) or joint id (joint coupling)
+  ob2: int
+  data: np.ndarray  # (11,) MuJoCo eq_data layout
+  solref: np.ndarray  # (2,)
+  solimp: np.ndarray  # (5,)
+
+  @property
+  def nrows(self) -> int:
+    return {0: 3, 1: 6, 2: 1}[int(self.kind)]
 
 
 @dataclasses.dataclass
@@ -146,18 +214,60 @@ class TileModel:
   site_bodyid: tuple
   site_pos: np.ndarray
   site_quat: np.ndarray
+  # fixed tendons: per tendon ((qadr, vadr, coef), ...)
+  ten_wraps: tuple = ()
+  ten_stiffness: Optional[np.ndarray] = None  # (ntendon,)
+  ten_damping: Optional[np.ndarray] = None  # (ntendon,)
+  ten_lengthspring: Optional[np.ndarray] = None  # (ntendon, 2)
+  ten_lim: tuple = ()  # limited tendon ids (two rows each: lo, hi)
+  ten_lim_range: Optional[np.ndarray] = None  # (nlimten, 2)
+  ten_lim_margin: tuple = ()
+  ten_lim_solref: Optional[np.ndarray] = None  # (nlimten, 2)
+  # actuator transmission: tendon id per actuator, -1 = scalar joint
+  act_tendon: tuple = ()
+  # equality constraints (bilateral rows, solver.py order)
+  eq_rows: tuple = ()
+  # scalar-joint springs + smoothed Coulomb friction loss
+  jnt_stiffness: Optional[np.ndarray] = None  # (njnt,)
+  qpos_spring: Optional[np.ndarray] = None  # (nq,)
+  dof_frictionloss: Optional[np.ndarray] = None  # (nv,)
 
   @property
   def ncon(self) -> int:
     return len(self.con_points)
 
   @property
+  def ncon_rows(self) -> int:
+    """Translational contact rows: 1 per condim-1 point, 3 otherwise."""
+    return sum(1 if cp.condim == 1 else 3 for cp in self.con_points)
+
+  @property
+  def tor_pts(self) -> tuple:
+    return tuple(i for i, cp in enumerate(self.con_points)
+                 if cp.condim >= 4)
+
+  @property
+  def roll_pts(self) -> tuple:
+    return tuple(i for i, cp in enumerate(self.con_points)
+                 if cp.condim >= 6)
+
+  @property
+  def nang(self) -> int:
+    return len(self.tor_pts) + 2 * len(self.roll_pts)
+
+  @property
   def nlim(self) -> int:
-    return 2 * len(self.lim_jnt)
+    return 2 * len(self.lim_jnt) + 2 * len(self.ten_lim)
+
+  @property
+  def neq_rows(self) -> int:
+    return sum(e.nrows for e in self.eq_rows)
 
   @property
   def nrow(self) -> int:
-    return 3 * self.ncon + self.nlim
+    """Constraint-row count; layout MUST mirror solver.py: [contact rows,
+    torsional, rolling, joint limits, tendon limits, equality]."""
+    return self.ncon_rows + self.nang + self.nlim + self.neq_rows
 
 
 def extract(m: Model) -> TileModel:
@@ -172,15 +282,6 @@ def extract(m: Model) -> TileModel:
       raise UnsupportedModel(f"joint type {jt}")
   if m.na != 0:
     raise UnsupportedModel("stateful actuators")
-  if m.ntendon or m.neq:
-    # tendons/equality run on the general XLA path (solver row classes not
-    # mirrored in the tile kernel)
-    raise UnsupportedModel("tendons/equality constraints")
-  for g1, g2 in m.collision_pairs:
-    if max(m.geom_condim[g1], m.geom_condim[g2]) > 3:
-      # condim≥4 angular friction rows (solver.py) not mirrored in the
-      # tile kernel's 3-rows-per-contact layout
-      raise UnsupportedModel("condim > 3 contact pair")
   # mocap bodies: allowed as rollout-constant poses (kernel operands) —
   # markers/goals only; they may not collide or carry joints
   mocap_bodies = {b for b in range(m.nbody) if m.body_mocapid[b] >= 0}
@@ -193,19 +294,58 @@ def extract(m: Model) -> TileModel:
       raise UnsupportedModel("colliding mocap geom")
   if m.opt.has_fluid:
     raise UnsupportedModel("fluid forces")
-  if m.has_spring or m.has_frictionloss:
-    raise UnsupportedModel("joint springs/frictionloss")
+  if m.has_spring:
+    # scalar-joint springs are mirrored; quaternion-joint springs are not
+    for j in range(m.njnt):
+      if (float(np.asarray(m.jnt_stiffness)[j]) != 0.0 and
+          m.jnt_type[j] not in (JointType.HINGE, JointType.SLIDE)):
+        raise UnsupportedModel("spring on quaternion joint")
 
-  # actuators: scalar joint transmissions only (quaternion-joint gears and
-  # site transmissions stay on the general path)
+  # actuators: scalar-joint and fixed-tendon transmissions (quaternion-
+  # joint gears and site transmissions stay on the general path)
+  act_tendon = [-1] * m.nu
   for u in range(m.nu):
-    if m.actuator_trntype[u] != TrnType.JOINT:
-      raise UnsupportedModel("non-joint transmission")
+    if m.actuator_trntype[u] not in (TrnType.JOINT, TrnType.TENDON):
+      raise UnsupportedModel("site transmission")
     if m.actuator_dyntype[u] != ActDyn.NONE:
       raise UnsupportedModel("actuator dynamics")
-    if m.jnt_type[m.actuator_trnid[u]] not in (JointType.HINGE,
-                                               JointType.SLIDE):
+    if m.actuator_trntype[u] == TrnType.TENDON:
+      act_tendon[u] = int(m.actuator_trnid[u])
+    elif m.jnt_type[m.actuator_trnid[u]] not in (JointType.HINGE,
+                                                 JointType.SLIDE):
       raise UnsupportedModel("actuator on quaternion joint")
+
+  # fixed tendons: scalar-joint wraps only (spatial tendons are guarded
+  # at load, physics/io.py); constant Jacobian rows
+  # (dynamics.tendon_jacobian_np semantics)
+  ten_wraps = []
+  for wraps in m.tendon_joints:
+    lst = []
+    for jid, coef in wraps:
+      if m.jnt_type[jid] not in (JointType.HINGE, JointType.SLIDE):
+        raise UnsupportedModel("tendon wrapping a quaternion joint")
+      lst.append((int(m.jnt_qposadr[jid]), int(m.jnt_dofadr[jid]),
+                  float(coef)))
+    ten_wraps.append(tuple(lst))
+  ten_lim = [t for t in range(m.ntendon) if m.tendon_limited[t]]
+
+  # equality constraints (bilateral rows, solver._equality_rows order)
+  from mujoco_mpc_tpu.physics.types import EqType
+  eq_rows = []
+  for e in range(m.neq):
+    if not m.eq_active0[e]:
+      continue
+    et = m.eq_type[e]
+    if et == EqType.JOINT:
+      for jid in (m.eq_obj1id[e], m.eq_obj2id[e]):
+        if jid >= 0 and m.jnt_type[jid] not in (JointType.HINGE,
+                                                JointType.SLIDE):
+          raise UnsupportedModel("joint equality on quaternion joint")
+    eq_rows.append(EqRow(
+        kind=int(et), ob1=int(m.eq_obj1id[e]), ob2=int(m.eq_obj2id[e]),
+        data=npy(m.eq_data)[e].astype(np.float32),
+        solref=npy(m.eq_solref)[e].astype(np.float32),
+        solimp=npy(m.eq_solimp)[e].astype(np.float32)))
 
   # contacts: static pointwise expansion of the supported pairs
   con_points = []
@@ -223,6 +363,11 @@ def extract(m: Model) -> TileModel:
         solref=0.5 * (npy(m.geom_solref)[g1] + npy(m.geom_solref)[g2]),
         solimp=0.5 * (npy(m.geom_solimp)[g1] + npy(m.geom_solimp)[g2]),
         margin=float(max(npy(m.geom_margin)[g1], npy(m.geom_margin)[g2])),
+        condim=int(max(m.geom_condim[g1], m.geom_condim[g2])),
+        mu_tor=float(max(npy(m.geom_friction)[g1, 1],
+                         npy(m.geom_friction)[g2, 1])),
+        mu_roll=float(max(npy(m.geom_friction)[g1, 2],
+                          npy(m.geom_friction)[g2, 2])),
     )
     if t1 == GeomType.PLANE:
       if b1 != 0:
@@ -323,9 +468,11 @@ def extract(m: Model) -> TileModel:
       body_mocapid=tuple(int(x) for x in m.body_mocapid),
       nmocap=int(m.nmocap),
       nuserdata=int(getattr(m, "nuserdata", 0) or 16),
-      act_vadr=np.asarray([m.jnt_dofadr[m.actuator_trnid[u]]
+      act_vadr=np.asarray([0 if act_tendon[u] >= 0
+                           else m.jnt_dofadr[m.actuator_trnid[u]]
                            for u in range(m.nu)], np.int32),
-      act_qadr=np.asarray([m.jnt_qposadr[m.actuator_trnid[u]]
+      act_qadr=np.asarray([0 if act_tendon[u] >= 0
+                           else m.jnt_qposadr[m.actuator_trnid[u]]
                            for u in range(m.nu)], np.int32),
       act_gear=npy(m.actuator_gear)[:, 0] if m.nu else np.zeros(0),
       act_gainprm=npy(m.actuator_gainprm),
@@ -354,6 +501,25 @@ def extract(m: Model) -> TileModel:
       ngeom=m.ngeom, nsite=m.nsite,
       site_bodyid=tuple(m.site_bodyid),
       site_pos=npy(m.site_pos), site_quat=npy(m.site_quat),
+      ten_wraps=tuple(ten_wraps),
+      ten_stiffness=(npy(m.tendon_stiffness) if m.ntendon
+                     else np.zeros(0)),
+      ten_damping=npy(m.tendon_damping) if m.ntendon else np.zeros(0),
+      ten_lengthspring=(npy(m.tendon_lengthspring) if m.ntendon
+                        else np.zeros((0, 2))),
+      ten_lim=tuple(ten_lim),
+      ten_lim_range=(np.stack([npy(m.tendon_range)[t] for t in ten_lim])
+                     if ten_lim else np.zeros((0, 2))),
+      ten_lim_margin=tuple(float(npy(m.tendon_margin)[t])
+                           for t in ten_lim),
+      ten_lim_solref=(np.stack([npy(m.tendon_solref_lim)[t]
+                                for t in ten_lim])
+                      if ten_lim else np.zeros((0, 2))),
+      act_tendon=tuple(act_tendon),
+      eq_rows=tuple(eq_rows),
+      jnt_stiffness=npy(m.jnt_stiffness),
+      qpos_spring=npy(m.qpos_spring),
+      dof_frictionloss=npy(m.dof_frictionloss),
   )
 
 
@@ -423,6 +589,22 @@ def _quat_to_mat(q):
       jnp.stack([2 * (x * z - w * y), 2 * (y * z + w * x),
                  1 - 2 * (x * x + y * y)]),
   ])
+
+
+def _quat_conj(q):
+  return jnp.stack([q[0], -q[1], -q[2], -q[3]])
+
+
+def _quat_sub_tb(qa, qb):
+  """Orientation error of qa relative to qb in tile layout, (3, *b).
+
+  Sin-weighted surrogate 2·sign(w)·vec(qb⁻¹⊗qa) = axis·2·sin(θ/2) —
+  atan2 (the exact log map, math.quat_sub / solver._equality_rows) has
+  no Mosaic TPU lowering. Equal to the rotation vector to O(θ³); weld
+  equality keeps orientation errors small, where the two agree."""
+  dq = _quat_mul(_quat_conj(qb), qa)
+  s = jnp.where(dq[0] < 0, -2.0, 2.0)  # shortest path
+  return jnp.stack([dq[1] * s, dq[2] * s, dq[3] * s])
 
 
 def _quat_normalize(q):
@@ -513,6 +695,48 @@ def _kb(solref: np.ndarray, dmax: float) -> Tuple[float, float]:
   return 1.0 / (dmax * dmax * tc * tc * dr * dr), 2.0 / (dmax * tc)
 
 
+class _TileContactView:
+  """Lazy contact view for residuals (dist/frame per candidate point).
+
+  Built only when a residual actually reads it (tracing triggers the
+  property) — contact-rich models whose residuals don't touch contacts
+  (humanoid: ~190 points) pay nothing. Leading-axis layout mirrors the
+  general path's Data.contact: dist (ncon, *b), frame (ncon, 3, 3, *b).
+  """
+
+  def __init__(self, tm, con_geo, zero):
+    self._tm, self._geo, self._zero = tm, con_geo, zero
+    self._dist = self._frame = None
+
+  @property
+  def dist(self):
+    if self._dist is None:
+      if not self._geo:
+        self._dist = jnp.stack([self._zero + 1e10])[:0]
+      else:
+        self._dist = jnp.stack([g[0] for g in self._geo])
+    return self._dist
+
+  @property
+  def frame(self):
+    if self._frame is None:
+      zero = self._zero
+      rows = []
+      for g in (self._geo or ()):
+        fr_rows = []
+        for r in range(3):
+          fr = g[1][r]
+          if isinstance(fr, np.ndarray):  # plane contact: constant frame
+            fr_rows.append(jnp.stack([zero + float(fr[i])
+                                      for i in range(3)]))
+          else:
+            fr_rows.append(jnp.stack([fr[0], fr[1], fr[2]]))
+        rows.append(jnp.stack(fr_rows))
+      self._frame = (jnp.stack(rows) if rows
+                     else jnp.stack([jnp.zeros((3, 3)) + zero])[:0])
+    return self._frame
+
+
 # ---------------------------------------------------------------------------
 # the step
 # ---------------------------------------------------------------------------
@@ -531,6 +755,11 @@ def step_tb(tm: TileModel, qpos, qvel, ctrl, mocap_pos=None,
     efc_lambda: (nrow, *b) APGD warm start (previous step's dual forces;
       None/zeros = cold, diag-preconditioned init) — must mirror
       solver.py's warm-start semantics exactly for path equivalence.
+      Tile row layout (differs from solver.py's order, which is fine:
+      APGD is row-order invariant and the warm-start vector never crosses
+      paths): [condim≥3 points (n,t1,t2 each), condim-1 normals,
+      torsional, rolling (axis-major), joint limits, tendon limits,
+      equality rows].
   Returns:
     (qpos2, qvel2, view) with view a SimpleNamespace carrying the derived
     quantities task residuals read (xpos, xmat, xquat, site_xpos,
@@ -752,6 +981,51 @@ def step_tb(tm: TileModel, qpos, qvel, ctrl, mocap_pos=None,
 
   # ---- passive + actuation
   qfrc_passive = [-float(tm.dof_damping[k]) * qvel[k] for k in range(nv)]
+  # smoothed Coulomb friction loss (dynamics.passive tanh regularization)
+  for k in range(nv):
+    fl = float(tm.dof_frictionloss[k]) if tm.dof_frictionloss is not None \
+        else 0.0
+    if fl != 0.0:
+      qfrc_passive[k] = qfrc_passive[k] - fl * jnp.tanh(qvel[k] / 0.01)
+  # scalar-joint springs about qpos_spring (dynamics.passive semantics)
+  if tm.jnt_stiffness is not None:
+    for j in range(tm.njnt):
+      ks = float(tm.jnt_stiffness[j])
+      if ks == 0.0 or tm.jnt_type[j] not in (JointType.HINGE,
+                                             JointType.SLIDE):
+        continue
+      qadr, vadr = tm.jnt_qposadr[j], tm.jnt_dofadr[j]
+      qfrc_passive[vadr] = qfrc_passive[vadr] - ks * (
+          qpos[qadr] - float(tm.qpos_spring[qadr]))
+
+  # fixed-tendon spring (deadband) + damper, projected through the
+  # constant tendon Jacobian (dynamics.passive mj_passive semantics)
+  ten_len_memo = {}
+
+  def tendon_len_vel(t):
+    if t not in ten_len_memo:
+      ln = vl = None
+      for qadr, vadr, coef in tm.ten_wraps[t]:
+        lt, vt = coef * qpos[qadr], coef * qvel[vadr]
+        ln = lt if ln is None else ln + lt
+        vl = vt if vl is None else vl + vt
+      ten_len_memo[t] = (ln, vl)
+    return ten_len_memo[t]
+
+  for t, wraps in enumerate(tm.ten_wraps):
+    k_t = float(tm.ten_stiffness[t])
+    c_t = float(tm.ten_damping[t])
+    if k_t == 0.0 and c_t == 0.0:
+      continue
+    ln, vl = tendon_len_vel(t)
+    lo = float(tm.ten_lengthspring[t, 0])
+    hi = float(tm.ten_lengthspring[t, 1])
+    stretch = jnp.where(ln > hi, ln - hi,
+                        jnp.where(ln < lo, ln - lo, 0.0))
+    f_t = -k_t * stretch - c_t * vl
+    for qadr, vadr, coef in wraps:
+      qfrc_passive[vadr] = qfrc_passive[vadr] + coef * f_t
+
   qfrc_act = [zero for _ in range(nv)]
   act_forces = []  # (nu) tiles for view.actuator_force
   for u in range(tm.nu):
@@ -759,8 +1033,14 @@ def step_tb(tm: TileModel, qpos, qvel, ctrl, mocap_pos=None,
     if tm.ctrl_limited[u]:
       c = jnp.clip(c, float(tm.ctrl_lo[u]), float(tm.ctrl_hi[u]))
     gear = float(tm.act_gear[u])
-    length = gear * qpos[int(tm.act_qadr[u])]
-    velocity = gear * qvel[int(tm.act_vadr[u])]
+    tid = tm.act_tendon[u] if tm.act_tendon else -1
+    if tid >= 0:  # fixed-tendon transmission (dynamics.actuation TENDON)
+      ln, vl = tendon_len_vel(tid)
+      length = gear * ln
+      velocity = gear * vl
+    else:
+      length = gear * qpos[int(tm.act_qadr[u])]
+      velocity = gear * qvel[int(tm.act_vadr[u])]
     gp = tm.act_gainprm[u]
     if tm.act_gain_fixed[u]:
       gain = float(gp[0])
@@ -775,8 +1055,12 @@ def step_tb(tm: TileModel, qpos, qvel, ctrl, mocap_pos=None,
     if tm.force_limited[u]:
       force = jnp.clip(force, float(tm.force_lo[u]), float(tm.force_hi[u]))
     act_forces.append(force)
-    k = int(tm.act_vadr[u])
-    qfrc_act[k] = qfrc_act[k] + gear * force
+    if tid >= 0:  # moment = gear · tendon coefficients (constant row)
+      for qadr, vadr, coef in tm.ten_wraps[tid]:
+        qfrc_act[vadr] = qfrc_act[vadr] + gear * coef * force
+    else:
+      k = int(tm.act_vadr[u])
+      qfrc_act[k] = qfrc_act[k] + gear * force
 
   # ---- implicit-damping inertia factor
   mimp = {}
@@ -923,6 +1207,9 @@ def step_tb(tm: TileModel, qpos, qvel, ctrl, mocap_pos=None,
       _sat_memo[key] = out
       return out
 
+    # per-point contact geometry first; rows are emitted afterwards in the
+    # tile layout order (see step_tb docstring)
+    con_geo = [None] * ncon
     for ci in range(ncon):
       cp = tm.con_points[ci]
       if cp.kind in ("plane_sphere", "plane_capend"):
@@ -1017,30 +1304,83 @@ def step_tb(tm: TileModel, qpos, qvel, ctrl, mocap_pos=None,
         cpos = c1 + n * (cp.r1 + 0.5 * dist)
         frame = frame_from_normal(n)
       dist = dist - cp.margin
+      con_geo[ci] = (dist, frame, cpos)
 
-      active = dist < 0
-      imp = _impedance(dist, cp.solimp)
-      kk, bb = _kb(cp.solref, float(cp.solimp[1]))
+    # ---- row emission, tile layout order: [condim≥3 points (n,t1,t2),
+    #      condim-1 normals, torsional, rolling, joint limits, tendon
+    #      limits, equality]. Order is internal to the tile path (APGD is
+    #      row-order invariant); all-condim-3 models keep the historical
+    #      point-major layout bit-for-bit.
+    fric_cis = [ci for ci, cp in enumerate(tm.con_points)
+                if cp.condim >= 3]
+    one_cis = [ci for ci, cp in enumerate(tm.con_points) if cp.condim == 1]
+    tor_cis = [ci for ci, cp in enumerate(tm.con_points) if cp.condim >= 4]
+    roll_cis = [ci for ci, cp in enumerate(tm.con_points)
+                if cp.condim >= 6]
+
+    def _point_sgn(cp):
       path1 = tm.dof_body_mask[:, cp.body1]
       path2 = tm.dof_body_mask[:, cp.body2]
       # relative-velocity jacobian sign per dof (solver._contact_jacobian)
-      sgn_k = [float(path2[k]) - float(path1[k]) for k in range(nv)]
+      return [float(path2[k]) - float(path1[k]) for k in range(nv)]
+
+    def _emit_contact_row(cp, fr, dist, cpos, sgn_k, is_normal):
+      Jrow = []
+      for k in range(nv):
+        if sgn_k[k] != 0.0:
+          ca, cl = cdof[k]
+          jp = cl + _cross(ca, cpos)
+          Jrow.append(sgn_k[k] * _dot3(fr, jp))
+        else:
+          Jrow.append(None)
+      rows_J.append(Jrow)
+      rows_pos.append(jnp.minimum(dist, 0.0) if is_normal else zero)
+      rows_active.append(dist < 0)
+      rows_imp.append(_impedance(dist, cp.solimp))
+      kk, bb = _kb(cp.solref, float(cp.solimp[1]))
+      rows_k.append(kk)
+      rows_b.append(bb)
+
+    for ci in fric_cis:
+      cp = tm.con_points[ci]
+      dist, frame, cpos = con_geo[ci]
+      sgn_k = _point_sgn(cp)
       for row in range(3):
-        fr = frame[row]
-        Jrow = []
-        for k in range(nv):
-          if sgn_k[k] != 0.0:
-            ca, cl = cdof[k]
-            jp = cl + _cross(ca, cpos)
-            Jrow.append(sgn_k[k] * _dot3(fr, jp))
-          else:
-            Jrow.append(None)
-        rows_J.append(Jrow)
-        rows_pos.append(jnp.minimum(dist, 0.0) if row == 0 else zero)
-        rows_active.append(active)
-        rows_imp.append(imp)
-        rows_k.append(kk)
-        rows_b.append(bb)
+        _emit_contact_row(cp, frame[row], dist, cpos, sgn_k, row == 0)
+    for ci in one_cis:
+      cp = tm.con_points[ci]
+      dist, frame, cpos = con_geo[ci]
+      _emit_contact_row(cp, frame[0], dist, cpos, _point_sgn(cp), True)
+
+    def _emit_angular_row(ci, axis):
+      """Relative angular-velocity row about contact-frame `axis`
+      (solver._angular_rows: torsional = normal, rolling = tangents).
+      Zero positional error, impedance shared with the point's normal row,
+      same solref, active with the point (MuJoCo condim 4/6 semantics)."""
+      cp = tm.con_points[ci]
+      dist, frame, _ = con_geo[ci]
+      fr = frame[axis]
+      sgn_k = _point_sgn(cp)
+      Jrow = []
+      for k in range(nv):
+        if sgn_k[k] != 0.0:
+          Jrow.append(sgn_k[k] * _dot3(fr, cdof[k][0]))
+        else:
+          Jrow.append(None)
+      rows_J.append(Jrow)
+      rows_pos.append(zero)  # no positional error on friction rows
+      rows_active.append(dist < 0)
+      # shared impedance with the point's normal row (MuJoCo semantics)
+      rows_imp.append(_impedance(dist, cp.solimp))
+      kk, bb = _kb(cp.solref, float(cp.solimp[1]))
+      rows_k.append(kk)
+      rows_b.append(bb)
+
+    for ci in tor_cis:
+      _emit_angular_row(ci, 0)
+    for axis in (1, 2):
+      for ci in roll_cis:
+        _emit_angular_row(ci, axis)
 
     for li, j in enumerate(tm.lim_jnt):
       q = qpos[tm.lim_qadr[li]]
@@ -1062,32 +1402,157 @@ def step_tb(tm: TileModel, qpos, qvel, ctrl, mocap_pos=None,
         rows_k.append(kk)
         rows_b.append(bb)
 
+    # tendon limit rows (solver._tendon_limit_rows: two-sided, constant
+    # Jacobian = the fixed tendon's joint coefficients, default solimp)
+    for li, t in enumerate(tm.ten_lim):
+      wraps = tm.ten_wraps[t]
+      ln = None
+      for qadr, vadr, coef in wraps:
+        term = coef * qpos[qadr]
+        ln = term if ln is None else ln + term
+      imp_si = np.asarray(_DEFAULT_SOLIMP)
+      kk, bb = _kb(tm.ten_lim_solref[li], float(imp_si[1]))
+      lo = float(tm.ten_lim_range[li, 0])
+      hi = float(tm.ten_lim_range[li, 1])
+      mg = tm.ten_lim_margin[li]
+      for side in range(2):
+        if side == 0:
+          posv = ln - lo - mg
+          sgn = 1.0
+        else:
+          posv = hi - ln - mg
+          sgn = -1.0
+        Jrow = [None] * nv
+        for qadr, vadr, coef in wraps:
+          add = zero + sgn * coef
+          Jrow[vadr] = add if Jrow[vadr] is None else Jrow[vadr] + add
+        rows_J.append(Jrow)
+        rows_pos.append(jnp.minimum(posv, 0.0))
+        rows_active.append(posv < 0)
+        rows_imp.append(_impedance(posv, imp_si))
+        rows_k.append(kk)
+        rows_b.append(bb)
+
+    # equality rows (solver._equality_rows: bilateral — signed positional
+    # error, no cone projection, always active, excluded from warm start)
+    always = zero < 1.0
+    for er in tm.eq_rows:
+      kk, bb = _kb(er.solref, float(er.solimp[1]))
+      if er.kind == 2:  # JOINT: qpos1 − qpos0_1 = poly(qpos2 − qpos0_2)
+        j1, j2 = er.ob1, er.ob2
+        qa1, va1 = tm.jnt_qposadr[j1], tm.jnt_dofadr[j1]
+        q1 = qpos[qa1] - float(tm.qpos0[qa1])
+        Jrow = [None] * nv
+        Jrow[va1] = zero + 1.0
+        dat = er.data
+        if j2 >= 0:
+          qa2, va2 = tm.jnt_qposadr[j2], tm.jnt_dofadr[j2]
+          dq = qpos[qa2] - float(tm.qpos0[qa2])
+          poly = (float(dat[0]) + float(dat[1]) * dq
+                  + float(dat[2]) * dq ** 2 + float(dat[3]) * dq ** 3
+                  + float(dat[4]) * dq ** 4)
+          dpoly = (float(dat[1]) + 2 * float(dat[2]) * dq
+                   + 3 * float(dat[3]) * dq ** 2
+                   + 4 * float(dat[4]) * dq ** 3)
+          add = -dpoly
+          Jrow[va2] = add if Jrow[va2] is None else Jrow[va2] + add
+          posv = q1 - poly
+        else:
+          posv = q1 - float(dat[0])
+        rows_J.append(Jrow)
+        rows_pos.append(posv)
+        rows_active.append(always)
+        rows_imp.append(_impedance(posv, er.solimp))
+        rows_k.append(kk)
+        rows_b.append(bb)
+        continue
+      # CONNECT / WELD share the translational anchor-coincidence rows
+      b1, b2 = er.ob1, er.ob2
+      if er.kind == 0:  # CONNECT: anchor1 = data[0:3], anchor2 = data[3:6]
+        a1, a2 = er.data[0:3], er.data[3:6]
+      else:  # WELD: anchor2 = data[0:3], anchor1 = data[3:6]
+        a1, a2 = er.data[3:6], er.data[0:3]
+      p1 = xpos[b1] + _quat_rot(xquat[b1], a1.astype(np.float32))
+      p2 = xpos[b2] + _quat_rot(xquat[b2], a2.astype(np.float32))
+      m1 = tm.dof_body_mask[:, b1]
+      m2 = tm.dof_body_mask[:, b2]
+      # point-translation jacobians, memoized per dof
+      jc1 = {k: cdof[k][1] + _cross(cdof[k][0], p1)
+             for k in range(nv) if m1[k]}
+      jc2 = {k: cdof[k][1] + _cross(cdof[k][0], p2)
+             for k in range(nv) if m2[k]}
+      for i in range(3):
+        Jrow = [None] * nv
+        for k in range(nv):
+          val = None
+          if m1[k]:
+            val = jc1[k][i]
+          if m2[k]:
+            val = -jc2[k][i] if val is None else val - jc2[k][i]
+          Jrow[k] = val
+        posv = p1[i] - p2[i]
+        rows_J.append(Jrow)
+        rows_pos.append(posv)
+        rows_active.append(always)
+        rows_imp.append(_impedance(posv, er.solimp))
+        rows_k.append(kk)
+        rows_b.append(bb)
+      if er.kind == 1:  # WELD orientation rows (torquescale-weighted)
+        tq = max(float(er.data[10]), 1e-8)
+        q1r = _quat_mul(xquat[b1], er.data[6:10].astype(np.float32))
+        rot_err = _quat_sub_tb(q1r, xquat[b2])
+        for i in range(3):
+          Jrow = [None] * nv
+          for k in range(nv):
+            sgn = (1.0 if m1[k] else 0.0) - (1.0 if m2[k] else 0.0)
+            if sgn != 0.0:
+              Jrow[k] = tq * sgn * cdof[k][0][i]
+          posv = tq * rot_err[i]
+          rows_J.append(Jrow)
+          rows_pos.append(posv)
+          rows_active.append(always)
+          rows_imp.append(_impedance(posv, er.solimp))
+          rows_k.append(kk)
+          rows_b.append(bb)
+
     # stacked constraint algebra in 8-ROW BLOCKS: the per-scalar style
     # used above is latency-bound on TPU (single-tile dependency chains);
-    # from here on every op carries an (8, nv) payload. Blocks rather
-    # than one (nrow, nv, *b) stack: a single stack doubles the Jacobian
-    # footprint at the stacking moment (inputs + output both live), which
-    # is what bounds VMEM for contact-rich models.
-    Jb = []
+    # from here on every op carries an (8, |support|) payload. Each block
+    # stores ONLY the dof columns some row in it touches (static sparsity
+    # from the kinematic tree): contact rows span the two bodies' paths,
+    # limit rows one dof — for tall models (dm_control humanoid, nv=27,
+    # nrow~200) this cuts the Jacobian VMEM and the matvec flops ~2-4x,
+    # which is what lets such models fit the megakernel at all.
+    Jb = []  # (tile (≤8, |sup|, *b), support dof tuple)
     for r0 in range(0, nrow, 8):
-      Jb.append(jnp.stack([
+      rows = list(range(r0, min(r0 + 8, nrow)))
+      sup = tuple(sorted({k for r_i in rows for k in range(nv)
+                          if rows_J[r_i][k] is not None}))
+      if not sup:
+        sup = (0,)
+      B = jnp.stack([
           jnp.stack([rows_J[r_i][k] if rows_J[r_i][k] is not None else zero
-                     for k in range(nv)])
-          for r_i in range(r0, min(r0 + 8, nrow))]))  # (≤8, nv, *b)
+                     for k in sup])
+          for r_i in rows])
+      Jb.append((B, sup))
 
     def jmat_vec(vk_stack):
       """J v for a (nv, *b) stacked vector → (nrow, *b)."""
-      return jnp.concatenate(
-          [jnp.sum(B * vk_stack[None], axis=1) for B in Jb])
+      outs = []
+      for B, sup in Jb:
+        sub = jnp.stack([vk_stack[k] for k in sup])  # (|sup|, *b)
+        outs.append(jnp.sum(B * sub[None], axis=1))
+      return jnp.concatenate(outs)
 
     def jmat_t_vec(v):
       """Jᵀ v for a (nrow, *b) vector → (nv, *b)."""
-      out = None
-      for bi, B in enumerate(Jb):
+      acc = [None] * nv
+      for bi, (B, sup) in enumerate(Jb):
         seg = v[8 * bi:8 * bi + B.shape[0]]
-        part = jnp.sum(B * seg[:, None], axis=0)
-        out = part if out is None else out + part
-      return out
+        part = jnp.sum(B * seg[:, None], axis=0)  # (|sup|, *b)
+        for si, k in enumerate(sup):
+          acc[k] = part[si] if acc[k] is None else acc[k] + part[si]
+      return jnp.stack([a if a is not None else zero for a in acc])
 
     # aref = −imp (k · pos_term + b · J q̇); per-row k/b are python floats
     vel_r = jmat_vec(qvel)  # (nrow, *b)
@@ -1111,7 +1576,11 @@ def step_tb(tm: TileModel, qpos, qvel, ctrl, mocap_pos=None,
 
     if dense_amat:
       # X = M⁻¹ Jᵀ via one multi-RHS masked-unrolled solve (payload=rows)
-      Js = jnp.concatenate(Jb)  # (nrow, nv, *b) — small models only
+      # (full-width J stack — dense regime means nrow is small)
+      Js = jnp.stack([
+          jnp.stack([rows_J[r_i][k] if rows_J[r_i][k] is not None else zero
+                     for k in range(nv)])
+          for r_i in range(nrow)])  # (nrow, nv, *b)
       X = solve_vk([Js[:, k] for k in range(nv)])  # nv × (nrow, *b)
       amat = sum(Js[:, k][:, None] * X[k][None, :] for k in range(nv))
       raw_diag = jnp.stack([amat[r_i, r_i] for r_i in range(nrow)])
@@ -1119,9 +1588,14 @@ def step_tb(tm: TileModel, qpos, qvel, ctrl, mocap_pos=None,
       # chunked diag: diag[r] = J_r · M⁻¹ J_rᵀ, one block at a time (the
       # full X would be as large as the Jacobian again)
       diag_parts = []
-      for B in Jb:
-        Xc = solve_vk([B[:, k] for k in range(nv)])
-        diag_parts.append(sum(B[:, k] * Xc[k] for k in range(nv)))
+      for B, sup in Jb:
+        zrow = B[:, 0] * 0.0
+        cols = [zrow] * nv
+        for si, k in enumerate(sup):
+          cols[k] = B[:, si]
+        Xc = solve_vk(cols)
+        diag_parts.append(sum(B[:, si] * Xc[k]
+                              for si, k in enumerate(sup)))
       raw_diag = jnp.concatenate(diag_parts)
     diag = jnp.clip(raw_diag, 1e-10, None)
     reg = (1.0 - imp_s) / imp_s * diag
@@ -1131,37 +1605,118 @@ def step_tb(tm: TileModel, qpos, qvel, ctrl, mocap_pos=None,
     # never chases a near-singular direction
     active_s = jnp.stack(rows_active) & (
         raw_diag > 1e-8 * jnp.max(raw_diag, axis=0, keepdims=True))
-    mu = np.asarray([cp.mu for cp in tm.con_points], dtype=np.float32)
 
-    def project(f):
-      if ncon:
-        fc = f[:3 * ncon].reshape((ncon, 3) + b)
-        fn = jnp.maximum(fc[:, 0], 0.0)
-        ft1, ft2 = fc[:, 1], fc[:, 2]
-        tsq = ft1 * ft1 + ft2 * ft2
+    nf, n1 = len(fric_cis), len(one_cis)
+    ntor, nroll = len(tor_cis), len(roll_cis)
+    nang = ntor + 2 * nroll
+    neq_r = tm.neq_rows
+    nuni = nrow - neq_r
+    off_ang = 3 * nf + n1
+    lim0 = off_ang + nang  # first (joint/tendon) limit row
+    tor_fpos = [fric_cis.index(ci) for ci in tor_cis]
+    roll_fpos = [fric_cis.index(ci) for ci in roll_cis]
+
+    # ---- Jacobi preconditioning (mirrors solver.py): solve in g = f/s,
+    # s = 1/sqrt(diag+reg) with scales tied inside tangent/rolling pairs
+    # so the cone stays circular — κ(Ã) is O(1) where angular rows would
+    # otherwise blow it to 1000s (1/inertia vs 1/mass diagonals).
+    dr = diag + reg  # (nrow, *b)
+    if nf:
+      fc_dr = dr[:3 * nf].reshape((nf, 3) + b)
+      mt = 0.5 * (fc_dr[:, 1] + fc_dr[:, 2])
+      dr_s = jnp.concatenate([
+          jnp.stack([fc_dr[:, 0], mt, mt],
+                    axis=1).reshape((3 * nf,) + b), dr[3 * nf:]])
+    else:
+      dr_s = dr
+    if nroll:
+      a_ = off_ang + ntor
+      mr = 0.5 * (dr_s[a_:a_ + nroll] + dr_s[a_ + nroll:a_ + 2 * nroll])
+      dr_s = jnp.concatenate([dr_s[:a_], mr, mr, dr_s[a_ + 2 * nroll:]])
+    s_pre = 1.0 / jnp.sqrt(jnp.clip(dr_s, 1e-12, None))
+    if nf:
+      fc_s = s_pre[:3 * nf].reshape((nf, 3) + b)
+      s_n = fc_s[:, 0]
+      s_t = fc_s[:, 1]
+      mu_t = jnp.stack([float(tm.con_points[ci].mu) * s_n[i] / s_t[i]
+                        for i, ci in enumerate(fric_cis)])
+    if ntor:
+      mu_tor = jnp.stack([
+          float(tm.con_points[ci].mu_tor) * s_n[tor_fpos[i]]
+          / s_pre[off_ang + i] for i, ci in enumerate(tor_cis)])
+    if nroll:
+      mu_roll = jnp.stack([
+          float(tm.con_points[ci].mu_roll) * s_n[roll_fpos[i]]
+          / s_pre[off_ang + ntor + i] for i, ci in enumerate(roll_cis)])
+
+    def project(g):
+      parts = []
+      gn = None
+      if nf:
+        gc = g[:3 * nf].reshape((nf, 3) + b)
+        gn = jnp.maximum(gc[:, 0], 0.0)
+        gt1, gt2 = gc[:, 1], gc[:, 2]
+        tsq = gt1 * gt1 + gt2 * gt2
         tnorm = jnp.sqrt(jnp.where(tsq < 1e-24, 1.0, tsq))
         tnorm = jnp.where(tsq < 1e-24, 0.0, tnorm)
-        cap = jnp.stack([float(mu[ci]) * fn[ci] for ci in range(ncon)])
-        scale = jnp.where(tnorm > cap, cap / jnp.maximum(tnorm, 1e-12), 1.0)
-        fcon = jnp.stack([fn, ft1 * scale, ft2 * scale],
-                         axis=1).reshape((3 * ncon,) + b)
-        f = jnp.concatenate([fcon, jnp.maximum(f[3 * ncon:], 0.0)])
-      else:
-        f = jnp.maximum(f, 0.0)
-      return jnp.where(active_s, f, 0.0)
+        cap = mu_t * gn
+        scale = jnp.where(tnorm > cap, cap / jnp.maximum(tnorm, 1e-12),
+                          1.0)
+        parts.append(jnp.stack([gn, gt1 * scale, gt2 * scale],
+                               axis=1).reshape((3 * nf,) + b))
+      if n1:  # condim-1 normals: nonnegative orthant
+        parts.append(jnp.maximum(g[3 * nf:3 * nf + n1], 0.0))
+      if ntor:
+        # angular caps couple to the SAME point's normal force iterate
+        # (separate interval/disc projections — a box approximation of
+        # MuJoCo's coupled elliptic cone; mirrors solver.py)
+        cap_t = jnp.stack([mu_tor[i] * gn[tor_fpos[i]]
+                           for i in range(ntor)])
+        parts.append(jnp.clip(g[off_ang:off_ang + ntor], -cap_t, cap_t))
+      if nroll:
+        r1 = g[off_ang + ntor:off_ang + ntor + nroll]
+        r2 = g[off_ang + ntor + nroll:off_ang + nang]
+        rsq = r1 * r1 + r2 * r2
+        rnorm = jnp.sqrt(jnp.where(rsq < 1e-24, 1.0, rsq))
+        rnorm = jnp.where(rsq < 1e-24, 0.0, rnorm)
+        cap_r = jnp.stack([mu_roll[i] * gn[roll_fpos[i]]
+                           for i in range(nroll)])
+        rs = jnp.where(rnorm > cap_r, cap_r / jnp.maximum(rnorm, 1e-12),
+                       1.0)
+        parts.extend([r1 * rs, r2 * rs])
+      if nuni > lim0:  # joint + tendon limit rows
+        parts.append(jnp.maximum(g[lim0:nuni], 0.0))
+      if neq_r:  # bilateral equality rows: no cone
+        parts.append(g[nuni:])
+      g = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+      return jnp.where(active_s, g, 0.0)
 
-    # APGD on the regularized dual (must mirror physics/solver.py:
-    # Nesterov with adaptive restart; step rule matches solver.py per
-    # model — Gershgorin on the dense path, power iteration matrix-free)
+    # Preconditioned APGD on the regularized dual (must mirror
+    # physics/solver.py: Nesterov with adaptive restart; step rule
+    # matches solver.py per model — Gershgorin on the dense path, power
+    # iteration matrix-free). Iterates live in g = f/s coordinates.
     dinv = 1.0 / (diag + reg)
-    f_init = project((aref_s - a0) * dinv)
+    g_init = project((aref_s - a0) * dinv / s_pre)
     if efc_lambda is not None:
-      # warm start (mirrors solver.py): previous step's duals unless all-
-      # zero (cold); branch-free per-candidate select
+      # warm start (mirrors solver.py): previous step's PHYSICAL duals
+      # rescaled into g, unless all-zero (cold); branch-free per-
+      # candidate select. Bilateral AND angular rows are excluded —
+      # their duals can be non-unique (duplicated corner-point angular
+      # Jacobians), and warm-starting a non-unique dual integrates
+      # drift (see solver.py).
       cold = jnp.sum(jnp.abs(efc_lambda), axis=0) == 0  # (*b,)
-      f0 = project(jnp.where(cold[None], f_init, efc_lambda))
+      lam_g = efc_lambda / s_pre
+      parts_w = [lam_g[:off_ang]]
+      if nang:
+        parts_w.append(g_init[off_ang:lim0])
+      parts_w.append(lam_g[lim0:nuni])
+      if neq_r:
+        parts_w.append(g_init[nuni:])
+      warm = (jnp.concatenate([p for p in parts_w if p.shape[0]])
+              if (nang or neq_r) else lam_g)
+      g0 = project(jnp.where(cold[None], g_init, warm))
     else:
-      f0 = f_init
+      g0 = g_init
     b_vec = a0 - aref_s
 
     if dense_amat:
@@ -1176,15 +1731,18 @@ def step_tb(tm: TileModel, qpos, qvel, ctrl, mocap_pos=None,
         return jmat_vec(minv)  # (nrow, *b)
 
     if dense_amat:
-      row_sum = jnp.sum(jnp.abs(amat), axis=1) + reg  # (nrow, *b)
+      # Gershgorin on the preconditioned operator Ã = S(A+R)S
+      row_sum = s_pre * jnp.sum(jnp.abs(amat) * s_pre[None], axis=1) \
+          + s_pre * s_pre * reg
       step = 1.0 / jnp.maximum(
           jnp.max(jnp.where(active_s, row_sum, 0.0), axis=0), 1e-8)
     else:
-      def opmul(v):  # (A + R) v on the active rows (solver.py opmul)
+      def opmul(v):  # Ã v on the active rows (solver.py opmul)
         v = jnp.where(active_s, v, 0.0)
-        return jnp.where(active_s, amul(v) + reg * v, 0.0)
+        sv = s_pre * v
+        return jnp.where(active_s, s_pre * (amul(sv) + reg * sv), 0.0)
 
-      v_p = jnp.where(active_s, jnp.ones_like(f0), 0.0)
+      v_p = jnp.where(active_s, jnp.ones_like(g0), 0.0)
       for _ in range(8):  # solver._POWER_ITERS
         w_p = opmul(v_p)
         v_p = w_p / jnp.maximum(
@@ -1192,27 +1750,29 @@ def step_tb(tm: TileModel, qpos, qvel, ctrl, mocap_pos=None,
       lam = jnp.sum(v_p * opmul(v_p), axis=0)
       step = 1.0 / jnp.maximum(1.25 * lam, 1e-8)  # (*b,)
 
-    def grad(f):
-      return amul(f) + reg * f + b_vec
+    def grad(g):
+      f = s_pre * g
+      return s_pre * (amul(f) + reg * f + b_vec)
 
     def apgd_body(_, carry):
-      f, y, t = carry
-      f_new = project(y - step[None] * grad(y))
+      g, y, t = carry
+      g_new = project(y - step[None] * grad(y))
       t_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * t * t))
       beta = (t - 1.0) / t_new
-      df = f_new - f
-      reverse = jnp.sum(df * (y - f_new), axis=0) > 0  # (*b,)
-      y_new = jnp.where(reverse[None], f_new, f_new + beta * df)
+      dg = g_new - g
+      reverse = jnp.sum(dg * (y - g_new), axis=0) > 0  # (*b,)
+      y_new = jnp.where(reverse[None], g_new, g_new + beta * dg)
       t_new2 = jnp.where(reverse, jnp.ones_like(t), t_new)
-      return f_new, y_new, t_new2
+      return g_new, y_new, t_new2
 
     # data-derived momentum init (see solver.py: shard_map VMA consistency)
-    t0s = 1.0 + 0.0 * jnp.sum(f0, axis=0)
-    f, _, _ = jax.lax.fori_loop(0, _ITERATIONS, apgd_body, (f0, f0, t0s))
+    t0s = 1.0 + 0.0 * jnp.sum(g0, axis=0)
+    g, _, _ = jax.lax.fori_loop(0, _ITERATIONS, apgd_body, (g0, g0, t0s))
+    f = s_pre * g  # back to physical dual forces
 
     qfc = jmat_t_vec(f)  # (nv, *b)
     qfrc_constraint = [qfc[k] for k in range(nv)]
-    lam_out = f  # converged duals → next step's warm start
+    lam_out = f  # converged PHYSICAL duals → next step's warm start
   else:
     lam_out = jnp.zeros((1,) + b, dtype=dtype) if efc_lambda is None \
         else efc_lambda
@@ -1251,10 +1811,13 @@ def step_tb(tm: TileModel, qpos, qvel, ctrl, mocap_pos=None,
 
   # site/geom frames for residuals
   site_xpos = []
+  site_xmat = []
   for s in range(tm.nsite):
     bs = tm.site_bodyid[s]
     site_xpos.append(xpos[bs] + _quat_rot(xquat[bs],
                                            one_c(tm.site_pos[s])))
+    site_xmat.append(_quat_to_mat(_quat_mul(xquat[bs],
+                                            one_c(tm.site_quat[s]))))
   geom_xpos = []
   for g in range(tm.ngeom):
     bg = tm.geom_bodyid[g]
@@ -1285,8 +1848,14 @@ def step_tb(tm: TileModel, qpos, qvel, ctrl, mocap_pos=None,
       subtree_com=jnp.stack(sub_com),
       site_xpos=(jnp.stack(site_xpos) if site_xpos
                  else jnp.zeros((0, 3) + b, dtype=dtype)),  # unused if empty
+      site_xmat=(jnp.stack(site_xmat) if site_xmat
+                 else jnp.zeros((0, 3, 3) + b, dtype=dtype)),
       geom_xpos=(jnp.stack(geom_xpos) if geom_xpos
                  else jnp.zeros((0, 3) + b, dtype=dtype)),
+      # contact dist/frame for grasp-shaping residuals (bimanual family):
+      # LAZY — only traced into the kernel when the residual touches them
+      contact=_TileContactView(tm, con_geo if nrow and ncon else None,
+                               zero),
       actuator_force=(jnp.stack(act_forces) if act_forces
                       else jnp.zeros((0,) + b, dtype=dtype)),
       mocap_pos=mocap_pos,

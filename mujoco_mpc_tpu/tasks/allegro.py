@@ -13,7 +13,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from mujoco_mpc_tpu.physics import math as pmath
+from mujoco_mpc_tpu.physics import math as pmath  # noqa: F401 (transition)
+from mujoco_mpc_tpu.physics import sensors as psens
 from mujoco_mpc_tpu.tasks import base, registry
 from mujoco_mpc_tpu.tasks import hand_reorient
 
@@ -31,17 +32,18 @@ def residual(model, data, params):
   cube_quat = data.qpos[qadr + 3:qadr + 7]
   palm = data.site_xpos[model.site("palm_site")]
   goal_quat = data.mocap_quat[0]
-  goal_quat = goal_quat / jnp.linalg.norm(goal_quat)
-  ori_err = pmath.quat_sub(goal_quat, cube_quat)
+  goal_quat = goal_quat / psens.norm0(goal_quat)
+  ori_err = psens.quat_sub0(goal_quat, cube_quat)  # tile-layout safe
   cube_vel = data.qvel[vadr:vadr + 3]
-  home = jnp.asarray(model.keyframe("home")[0], dtype=data.qpos.dtype)
+  home = model.keyframe("home")[0][:_NHAND]
+  hold = cube_pos - palm
+  hold = jnp.stack([hold[0], hold[1], hold[2] - 0.04])
   return jnp.concatenate([
-      cube_pos - palm - jnp.asarray([0.0, 0.0, 0.04],
-                                    dtype=cube_pos.dtype),
+      hold,
       ori_err,
       cube_vel,
       data.actuator_force,
-      data.qpos[:_NHAND] - home[:_NHAND],
+      psens.sub_const0(data.qpos[:_NHAND], home),
       data.qvel[:_NHAND],
   ])
 

@@ -29,6 +29,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from mujoco_mpc_tpu.physics import collision
+from mujoco_mpc_tpu.physics import sensors as psens
 from mujoco_mpc_tpu.tasks import base, registry
 
 _SOLVE_TIMEOUT = 30.0
@@ -36,10 +37,11 @@ _PHI = 0.6180339887498949  # golden-ratio conjugate, for low-discrepancy seq
 
 
 def _gripper_frame_vec(model, data, site_name, point):
-  """point in the site frame, lateral components doubled."""
+  """point in the site frame, lateral components doubled
+  (leading-axis ops: runs inside the tile megakernel too)."""
   s = model.site(site_name)
-  local = data.site_xmat[s].T @ (point - data.site_xpos[s])
-  return local * jnp.asarray([1.0, 2.0, 2.0], dtype=local.dtype)
+  local = psens.mat_tvec0(data.site_xmat[s], point - data.site_xpos[s])
+  return jnp.stack([local[0], 2.0 * local[1], 2.0 * local[2]])
 
 
 _GRASP_MARGIN = 0.02  # reference grasp-site margin/gap (handover task.xml:85)
@@ -55,10 +57,10 @@ def _finger_normal(model, data, finger_geom, obj_geom):
   slots always carry dist, so the margin is just a threshold."""
   start, count, sign = collision.geom_pair_slots(
       model, model.geom(finger_geom), model.geom(obj_geom))
-  normals = data.contact.frame[start:start + count, 0, :] * sign
+  normals = data.contact.frame[start:start + count, 0] * sign
   active = (data.contact.dist[start:start + count] < _GRASP_MARGIN)
   avg = jnp.sum(normals * active[:, None].astype(normals.dtype), axis=0)
-  nrm = jnp.linalg.norm(avg)
+  nrm = psens.norm0(avg)
   return avg / jnp.maximum(nrm, 1e-9), nrm > 1e-9
 
 
@@ -69,7 +71,7 @@ def _grasp_quality(model, data):
   for side in ("left", "right"):
     n1, h1 = _finger_normal(model, data, f"{side}/fingerL_geom", "box_geom")
     n2, h2 = _finger_normal(model, data, f"{side}/fingerR_geom", "box_geom")
-    hand = jnp.where(h1 & h2, 0.5 * (jnp.dot(n1, n2) + 1.0), one)
+    hand = jnp.where(h1 & h2, 0.5 * (psens.dot0(n1, n2) + 1.0), one)
     quality = quality * hand
   return jnp.sqrt(jnp.maximum(quality, 0.0))
 
@@ -85,7 +87,7 @@ def residual(model, data, params):
       reach_r,
       grasp[None],
       box - target,
-      data.qvel[:12],
+      data.qvel[:16],  # 2 x 8 arm dofs (6 joints + 2 fingers per arm)
   ])
 
 
@@ -118,10 +120,10 @@ def transition(model, data, params):
   fell = box[2] < -0.1
   qpos = data.qpos
   qvel = data.qvel
-  box_q = jnp.where(fell, key_qpos[12:19], qpos[12:19])
-  qpos = qpos.at[12:19].set(box_q)
-  box_v = jnp.where(fell, jnp.zeros(6, dtype=dtype), qvel[12:18])
-  qvel = qvel.at[12:18].set(box_v)
+  box_q = jnp.where(fell, key_qpos[16:23], qpos[16:23])
+  qpos = qpos.at[16:23].set(box_q)
+  box_v = jnp.where(fell, jnp.zeros(6, dtype=dtype), qvel[16:22])
+  qvel = qvel.at[16:22].set(box_v)
 
   # --- arm reset after 30 s without a solve (handover.cc:179-185)
   stuck = data.time > solve_time + _SOLVE_TIMEOUT

@@ -17,6 +17,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from mujoco_mpc_tpu.physics import math as pmath
+from mujoco_mpc_tpu.physics import sensors as psens
 from mujoco_mpc_tpu.tasks import base, bimanual, registry
 
 _RADIUS = 0.05
@@ -42,12 +43,12 @@ def insert_residual(model, data, params):
                                      "female_geom")
   nl2, hl2 = bimanual._finger_normal(model, data, "left/fingerR_geom",
                                      "female_geom")
-  grasp_l = jnp.where(hl1 & hl2, 0.5 * (jnp.dot(nl1, nl2) + 1.0), one)
+  grasp_l = jnp.where(hl1 & hl2, 0.5 * (psens.dot0(nl1, nl2) + 1.0), one)
   nr1, hr1 = bimanual._finger_normal(model, data, "right/fingerL_geom",
                                      "male_geom")
   nr2, hr2 = bimanual._finger_normal(model, data, "right/fingerR_geom",
                                      "male_geom")
-  grasp_r = jnp.where(hr1 & hr2, 0.5 * (jnp.dot(nr1, nr2) + 1.0), one)
+  grasp_r = jnp.where(hr1 & hr2, 0.5 * (psens.dot0(nr1, nr2) + 1.0), one)
 
   target = data.mocap_pos[0]
   xy_scale = jnp.asarray([1.0, 0.1, 0.1], dtype=dtype)  # z matters most
@@ -65,7 +66,7 @@ def insert_residual(model, data, params):
 
   return jnp.concatenate([
       reach_l, reach_r, grasp_l[None], grasp_r[None], lift_m, lift_f,
-      insert, data.qvel[:12],
+      insert, data.qvel[:16],
   ])
 
 
@@ -80,9 +81,9 @@ def insert_transition(model, data, params):
   key_qpos = jnp.asarray(model.keyframe("home")[0], dtype=dtype)
 
   qpos, qvel = data.qpos, data.qvel
-  conn_q = jnp.where(solved, key_qpos[12:26], qpos[12:26])
+  conn_q = jnp.where(solved, key_qpos[16:30], qpos[16:30])
   qpos = qpos.at[12:26].set(conn_q)
-  conn_v = jnp.where(solved, jnp.zeros(12, dtype=dtype), qvel[12:24])
+  conn_v = jnp.where(solved, jnp.zeros(12, dtype=dtype), qvel[16:28])
   qvel = qvel.at[12:24].set(conn_v)
   solve_time = jnp.where(solved, data.time, data.userdata[1])
 
@@ -115,13 +116,13 @@ def reorient_residual(model, data, params):
   box = data.xpos[box_body]
   box_quat = data.xquat[box_body]
   goal_quat = data.mocap_quat[0]
-  goal_quat = goal_quat / jnp.linalg.norm(goal_quat)
+  goal_quat = goal_quat / psens.norm0(goal_quat)
   reach_l = bimanual._gripper_frame_vec(model, data, "left/gripper", box)
   reach_r = bimanual._gripper_frame_vec(model, data, "right/gripper", box)
-  ori = pmath.quat_sub(goal_quat, box_quat)
+  ori = psens.quat_sub0(goal_quat, box_quat)  # tile-layout safe
   keep = box - data.mocap_pos[0]
   return jnp.concatenate([
-      reach_l, reach_r, ori, keep, data.qvel[:12],
+      reach_l, reach_r, ori, keep, data.qvel[:16],
   ])
 
 

@@ -93,6 +93,28 @@ def build_humanoid(mode: str = "walk"):
 
   spec.body("torso").pos = [0.0, 0.0, 1.282]
 
+  # Planning-model contact scope (static-shape TPU physics pays for every
+  # CANDIDATE pair, unlike MuJoCo C's broadphase): keep the contacts that
+  # shape walking/standing — floor vs feet/shins/butt/torso/head, plus
+  # leg-leg cross pairs (condim 1, the model's own frictionless self-
+  # collision class) — and drop arm/waist self-collision. Encoded with
+  # contype/conaffinity bitmasks (bit 0 = floor group, bit 1 = legs).
+  _FLOOR_ONLY = ("butt", "torso", "head")
+  _LEG_FLOOR = ("right_shin", "left_shin", "right_right_foot",
+                "left_right_foot", "left_left_foot", "right_left_foot")
+  _LEG_ONLY = ("right_thigh", "left_thigh")
+  for g in spec.geoms:
+    if g.name == "floor":
+      g.contype, g.conaffinity = 1, 1
+    elif g.name in _LEG_FLOOR:
+      g.contype, g.conaffinity = 3, 2
+    elif g.name in _LEG_ONLY:
+      g.contype, g.conaffinity = 2, 2
+    elif g.name in _FLOOR_ONLY:
+      g.contype, g.conaffinity = 1, 0
+    else:  # arms, hands, waist: no contacts in the planning model
+      g.contype, g.conaffinity = 0, 0
+
   for side in ("right", "left"):
     spec.actuator(f"{side}_knee").gear = [100, 0, 0, 0, 0, 0]
     spec.joint(f"{side}_hip_x").range = [-30.0, 10.0]
@@ -182,7 +204,10 @@ def build_cartpole():
   strip_sensors(spec)
 
   add_numerics(spec, {
-      "agent_planner": 0,
+      # reference task.xml:10 runs cartpole with the GRADIENT planner —
+      # random spline noise alone cannot pump out of the hanging
+      # equilibrium at dm_control's gear-10 torque budget
+      "agent_planner": 1,
       "agent_horizon": 1.0,
       "agent_timestep": 0.01,
       "sampling_spline_points": 10,
@@ -191,8 +216,9 @@ def build_cartpole():
       "residual_Goal": 0.0,
   })
   add_cost_sensors(spec, [
-      ("Vertical", 1, [7, 10.0, 0, 100.0, 0.01, 2.0]),
-      ("Centered", 1, [7, 10.0, 0, 100.0, 0.1, 2.0]),
+      # norms/params mirror reference task.xml:31-34 (SMOOTH_ABS)
+      ("Vertical", 1, [6, 10.0, 0, 100.0, 0.01]),
+      ("Centered", 1, [6, 10.0, 0, 100.0, 0.1]),
       ("Velocity", 1, [0, 0.1, 0, 1.0]),
       ("Control", 1, [0, 0.1, 0, 1.0]),
   ])
@@ -224,6 +250,83 @@ def build_acrobot():
       ("Height", 1, [6, 8.0, 0, 50.0, 0.02]),
       ("Velocity", 2, [0, 0.05, 0, 1.0]),
       ("Control", 1, [0, 0.05, 0, 1.0]),
+  ])
+  return compile_model(spec)
+
+
+# ----------------------------------------------------------------- swimmer
+
+
+def build_swimmer(nsegment: int = 5):
+  """dm_control swimmer + the reference patch (swimmer.xml.patch).
+
+  The installed dm_control/suite/swimmer.xml contains only the head (the
+  suite adds segments procedurally), and the reference patch appends five
+  segments plus filter actuators — reproduced here: timestep 0.01, fluid
+  density 1000, contacts disabled, joints ±90° w/ stiffness .001 and
+  solreflimit .05 .3, `general` actuators gain 2e-3 dyntype=filter
+  dynprm 0.6 (reference tasks/swimmer/swimmer.xml.patch:1-107)."""
+  import mujoco
+
+  spec = load_spec("swimmer")
+  spec.modelname = "Swimmer (dm_control)"
+  spec.option.timestep = 0.01
+  spec.option.density = 1000.0
+  spec.option.integrator = mujoco.mjtIntegrator.mjINT_EULER
+  strip_sensors(spec)
+
+  # contacts disabled in the patch: strip collision bits everywhere
+  for g in spec.geoms:
+    g.contype, g.conaffinity = 0, 0
+
+  # patch's joint class changes applied to the swimmer default class
+  dflt = spec.find_default("swimmer")
+  dflt.joint.range = [-1.5707963, 1.5707963]
+  dflt.joint.stiffness = [0.001, 0.0, 0.0]
+  dflt.joint.solref_limit = [0.05, 0.3]
+
+  head = spec.body("head")
+  head.add_site(name="nose", pos=[0, -0.06, 0], size=[0.004, 0, 0])
+  parent = head
+  for i in range(nsegment):
+    seg = parent.add_body(name=f"segment_{i}", pos=[0, 0.1, 0])
+    seg.add_geom(spec.find_default("visual"), name=f"visual_{i}")
+    seg.add_geom(spec.find_default("inertial"), name=f"inertial_{i}")
+    seg.add_joint(dflt, name=f"joint_{i}")
+    parent = seg
+
+  for i in range(nsegment):
+    a = spec.add_actuator(
+        name=str(i), target=f"joint_{i}",
+        trntype=mujoco.mjtTrn.mjTRN_JOINT,
+        dyntype=mujoco.mjtDyn.mjDYN_FILTER,
+        gaintype=mujoco.mjtGain.mjGAIN_FIXED,
+        ctrllimited=mujoco.mjtLimited.mjLIMITED_TRUE,
+        ctrlrange=[-1.0, 1.0])
+    a.gainprm = [2e-3] + [0.0] * 9
+    a.dynprm = [0.6] + [0.0] * 9
+
+  # the base file's static target geom -> mocap body (reference
+  # task.xml:27-29)
+  spec.delete(spec.geom("target"))
+  tgt = spec.worldbody.add_body(name="target", mocap=True,
+                                pos=[0.3, 0.3, 0.05])
+  tgt.add_geom(name="target", type=mujoco.mjtGeom.mjGEOM_SPHERE,
+               size=[0.05, 0, 0], contype=0, conaffinity=0,
+               rgba=[1, 0, 0, 0.5])
+
+  add_numerics(spec, {
+      "agent_planner": 0,
+      "agent_horizon": 2.0,
+      "agent_timestep": 0.01,
+      "sampling_spline_points": 10,
+      "sampling_trajectories": 128,
+      "sampling_exploration": 0.5,
+  })
+  add_cost_sensors(spec, [
+      ("Distance", 2, [2, 3.0, 0, 10.0, 0.04]),
+      ("MoveToward", 1, [6, 2.0, 0, 10.0, 0.05]),
+      ("Control", nsegment, [0, 0.001, 0, 1.0]),
   ])
   return compile_model(spec)
 

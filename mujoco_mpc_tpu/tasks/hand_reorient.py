@@ -1,17 +1,21 @@
-"""Shadow-style in-hand cube reorientation (reference:
-mjpc/tasks/shadow_reorient/hand.cc). A four-finger capsule hand cages a
-free cube on an up-facing palm; the planner reorients the cube to a goal
-quaternion that advances through a deterministic sequence as goals are
-reached; a dropped cube is reset into the hand (hand.cc:90-121,
-TransitionLocked).
+"""Shadow-hand in-hand cube reorientation (reference:
+mjpc/tasks/shadow_reorient/hand.cc) at the REAL hand's counts: 24 hand
+joints (2 wrist + FF/MF/RF 4 + LF 5 + TH 5), 20 actuators with the four
+fingers' distal J1+J2 pairs tendon-coupled (menagerie right_hand.xml).
+The planner reorients the cube to a goal quaternion that advances through
+a deterministic sequence as goals are reached; a dropped cube is reset
+into the hand (hand.cc:90-121, TransitionLocked).
 
 Residual layout mirrors hand.cc:36-85:
   (0) cube_position − palm_position        (3)
   (1) goal_orientation ⊖ cube_orientation  (3)
   (2) cube linear velocity                 (3)
-  (3) control                              (nu)
-  (4) hand configuration − home            (nhand)
-  (5) hand joint velocity                  (nhand)
+  (3) actuator force                       (nu = 20)
+  (4) hand configuration − home grasp      (24)
+  (5) hand joint velocity                  (24)
+(The reference's task.xml declares dims 26 for terms 4-5 because its
+`qpos + 7` offset lands on the cube quaternion in its include order —
+hand.cc:75-80; here the dims are the hand's actual 24 joints.)
 """
 
 from __future__ import annotations
@@ -20,9 +24,10 @@ import jax
 import jax.numpy as jnp
 
 from mujoco_mpc_tpu.physics import math as pmath
+from mujoco_mpc_tpu.physics import sensors as psens
 from mujoco_mpc_tpu.tasks import base, registry
 
-_NHAND = 8
+_NHAND = 24
 _GOLDEN = 2.39996322972865332  # radians
 
 
@@ -31,21 +36,28 @@ def _cube_adr(model):
   return model.jnt_qposadr[j], model.jnt_dofadr[j]
 
 
+def _home_hand(model):
+  qpos, _, _ = model.keyframe("home")
+  return qpos[:_NHAND]  # numpy (tile path) or traced leaf (general)
+
+
 def residual(model, data, params):
   qadr, vadr = _cube_adr(model)
   cube_pos = data.qpos[qadr:qadr + 3]
   cube_quat = data.qpos[qadr + 3:qadr + 7]
-  palm = data.site_xpos[model.site("palm_site")]
+  palm = data.site_xpos[model.site("grasp_site")]
   goal_quat = data.mocap_quat[0]
-  goal_quat = goal_quat / jnp.linalg.norm(goal_quat)
-  ori_err = pmath.quat_sub(goal_quat, cube_quat)
+  goal_quat = goal_quat / psens.norm0(goal_quat)
+  # leading-axis quat ops: this residual runs inside the tile megakernel
+  ori_err = psens.quat_sub0(goal_quat, cube_quat)
   cube_vel = data.qvel[vadr:vadr + 3]
+  home = _home_hand(model)
   return jnp.concatenate([
-      cube_pos - palm - jnp.asarray([0.0, 0.0, 0.04], dtype=cube_pos.dtype),
+      cube_pos - palm,
       ori_err,
       cube_vel,
-      data.ctrl,
-      data.qpos[:_NHAND],  # home hand config is all-zero
+      data.actuator_force,  # hand.cc:73 uses actuator_force, not ctrl
+      psens.sub_const0(data.qpos[:_NHAND], home),
       data.qvel[:_NHAND],
   ])
 
@@ -75,7 +87,7 @@ def transition(model, data, params):
 
   # drop reset: cube below the palm → back into the hand at rest
   dropped = cube_pos[2] < 0.15
-  home = jnp.asarray([0.0, 0.0, 0.3, 1.0, 0.0, 0.0, 0.0],
+  home = jnp.asarray([0.0, 0.0, 0.285, 1.0, 0.0, 0.0, 0.0],
                      dtype=data.qpos.dtype)
   qpos = data.qpos
   cube_q = jnp.where(dropped, home, qpos[qadr:qadr + 7])

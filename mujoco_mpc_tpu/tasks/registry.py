@@ -76,6 +76,7 @@ def _register_all():
   from mujoco_mpc_tpu.tasks import humanoid_track  # noqa: F401
   from mujoco_mpc_tpu.tasks import op3  # noqa: F401
   from mujoco_mpc_tpu.tasks import particle  # noqa: F401
+  from mujoco_mpc_tpu.tasks import pick  # noqa: F401
   from mujoco_mpc_tpu.tasks import push  # noqa: F401
   from mujoco_mpc_tpu.tasks import quadrotor  # noqa: F401
   from mujoco_mpc_tpu.tasks import quadruped  # noqa: F401

@@ -42,7 +42,9 @@ def transition(model, data, params):
 
 @registry.register("Swimmer")
 def make(dtype=jnp.float32) -> base.Task:
-  model, spec, params, pnames = registry.load_task_model("swimmer.xml", dtype)
+  from mujoco_mpc_tpu.tasks import dm_suite
+  model, spec, params, pnames = registry.load_task_model_from_builder(
+      dm_suite.build_swimmer, dtype)
   return base.Task(name="Swimmer", model=model, spec=spec, params=params,
                    residual=residual, transition=transition,
                    param_names=pnames)

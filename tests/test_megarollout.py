@@ -49,7 +49,7 @@ def test_tilestep_rollout_matches_general_path():
   """Contact-rich walker: tile-layout physics == scan/vmap physics."""
   task, data, actions = _walker_setup()
   mr = MR.MegaRollout(task, HORIZON)
-  assert mr.tm.ncon == 5  # 2 feet x 2 capsule ends + foot-foot
+  assert mr.tm.ncon >= 5  # dm_control walker: feet/legs vs plane + self
   ref = _general_returns(task, data, actions, HORIZON)
   got = jax.jit(mr.returns_xla)(data.qpos, data.qvel, actions,
                                 task.params, data.time)

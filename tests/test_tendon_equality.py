@@ -202,11 +202,15 @@ def test_joint_equality_polynomial_coupling():
   np.testing.assert_allclose(np.asarray(d.qpos), md.qpos, atol=0.02)
 
 
-def test_tendon_equality_models_fall_back_from_megakernel():
-  """Models with tendons/equality take the general XLA path."""
-  _, m = _load(_TENDON_XML.format(attr="", extra=""))
-  with pytest.raises(tilestep.UnsupportedModel):
-    tilestep.extract(m)
+def test_tendon_equality_models_join_megakernel_class():
+  """Round 4: tendons/equality are IN the tile kernel class (row-class
+  extension, tests/test_tilestep_classes.py pins path equivalence)."""
+  _, m = _load(_TENDON_XML.format(
+      attr='limited="true" range="-0.25 0.25"',
+      extra='<equality><joint joint1="j1" joint2="j2" '
+            'polycoef="0 0.5 0 0 0"/></equality>'))
+  tm = tilestep.extract(m)
+  assert tm.nlim == 2 and tm.neq_rows == 1
 
 
 def test_gradients_flow_through_tendon_equality_step():
