@@ -65,6 +65,53 @@ def _planner_rate(task_name, num_traj, horizon, iters=30):
       "planner_hz": 1.0 / dt,
       "compile_s": compile_s,
       "best_return": float(info.best_return),
+      "megakernel": planner._mega is not None,
+  }
+
+
+def _deriv_rate(task_name, planner_kind, horizon=None, iters=10):
+  """Derivative-planner (iLQG / Gradient) optimize-call rate.
+
+  One optimize call = one full planner iteration (reference
+  ilqg/planner.cc:377 Iteration: nominal rollout + jacfwd derivatives +
+  Riccati backward pass + parallel line search). Reports iterations/sec
+  and the realtime factor at the reference testspeed cadence of one
+  planning iteration per 4 physics steps (testspeed_app.cc:26)."""
+  from mujoco_mpc_tpu.physics import io as phys_io
+  from mujoco_mpc_tpu.tasks import registry
+
+  task = registry.get_task(task_name)
+  if planner_kind == "ilqg":
+    from mujoco_mpc_tpu.planners import ilqg
+    cfg = ilqg.ILQGConfig.from_task(task, horizon_steps=horizon)
+    planner = ilqg.ILQGPlanner(cfg)
+  else:
+    from mujoco_mpc_tpu.planners import gradient
+    cfg = gradient.GradientConfig.from_task(task, horizon_steps=horizon)
+    planner = gradient.GradientPlanner(cfg)
+  policy = planner.init(task)
+  data = phys_io.make_data(task.model)
+  qpos, _, _ = task.model.keyframe("home")
+  data = data.replace(qpos=jnp.asarray(qpos, dtype=data.qpos.dtype))
+  opt = jax.jit(planner.optimize)
+  rng = jax.random.PRNGKey(0)
+  t0 = time.perf_counter()
+  policy, info = opt(task, policy, data, rng)
+  jax.block_until_ready(info.best_return)
+  compile_s = time.perf_counter() - t0
+  t0 = time.perf_counter()
+  for _ in range(iters):
+    policy, info = opt(task, policy, data, rng)
+  jax.block_until_ready(info.best_return)
+  dt = (time.perf_counter() - t0) / iters
+  phys_dt = float(task.model.opt.timestep)
+  return {
+      "iterations_per_sec": round(1.0 / dt, 2),
+      "horizon_steps": cfg.horizon,
+      "compile_s": round(compile_s, 1),
+      # reference testspeed cadence: 1 planner iteration per 4 physics
+      # steps → required rate 1/(4·dt); >1.0 means faster than realtime
+      "realtime_x_plan_every_4_steps": round((1.0 / dt) * 4 * phys_dt, 2),
   }
 
 
@@ -192,6 +239,33 @@ def main():
         "Humanoid Walk", 256, 200, iters=20)
   except Exception as e:  # flagship extras must not kill the benchmark
     extras["flagship_error"] = str(e)[:200]
+  # dexterous tasks (BASELINE configs 4-5; the reference's own testspeed
+  # default is the cube, testspeed_app.cc:23) — each entry says whether
+  # the whole-rollout megakernel carried it
+  for key, (name, n, h, it) in {
+      "shadow_reorient_512x100": ("Shadow", 512, 100, 10),
+      "bimanual_handover_256x80": ("Bimanual Handover", 256, 80, 10),
+      "rubik_4096x64": ("Rubik", 4096, 64, 10),
+  }.items():
+    try:
+      r = _planner_rate(name, n, h, iters=it)
+      extras[key] = {
+          "planner_hz": round(r["planner_hz"], 1),
+          "steps_per_sec": round(r["steps_per_sec"]),
+          "megakernel": r["megakernel"]}
+    except Exception as e:
+      extras[key] = {"error": str(e)[:200]}
+  # derivative planners (BASELINE config 3): iLQG on walker + the
+  # full-DOF humanoid, gradient planner on walker
+  for key, (name, kind, it) in {
+      "ilqg_walker": ("Walker", "ilqg", 10),
+      "ilqg_humanoid": ("Humanoid Walk", "ilqg", 5),
+      "gradient_walker": ("Walker", "gradient", 10),
+  }.items():
+    try:
+      extras[key] = _deriv_rate(name, kind, iters=it)
+    except Exception as e:
+      extras[key] = {"error": str(e)[:200]}
   try:
     cpu = cpu_baseline()
     # honesty: this host has few cores; report per-thread and a calibrated

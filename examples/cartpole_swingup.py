@@ -1,4 +1,6 @@
-"""Cartpole swing-up demo (reference: python demos; run anywhere).
+"""Cartpole balance + recenter demo (the reference's own cartpole task:
+task.xml home is cart x=1 / pole up, solved by the gradient planner —
+reference mjpc/tasks/cartpole/task.xml:10,48).
 
 Usage: python examples/cartpole_swingup.py [--platform cpu]
 """
@@ -20,12 +22,14 @@ if args.platform:
 from mujoco_mpc_tpu.agent.agent import Agent  # noqa: E402
 
 agent = Agent("Cartpole")
-agent.reset(keyframe="home")  # pole hanging down
+agent.reset(keyframe="home")  # cart at x=1, pole up (reference home)
 print(f"initial cost: {agent.total_cost():.2f}")
 for i in range(300):
   if i % 2 == 0:
     agent.planner_step()
   agent.step()
-ang = float(agent.get_state()["qpos"][1]) % (2 * math.pi)
+st = agent.get_state()
+ang = float(st["qpos"][1]) % (2 * math.pi)
 print(f"final cost: {agent.total_cost():.3f}; "
+      f"cart {float(st['qpos'][0]):.3f}; "
       f"pole {min(ang, 2*math.pi-ang):.3f} rad from upright")

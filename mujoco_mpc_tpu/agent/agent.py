@@ -109,6 +109,9 @@ class Agent:
     self._estimator = None
     self._est_state = None
     self._jit_est_update = None
+    self._est_thread: Optional[threading.Thread] = None
+    self._est_exit = threading.Event()
+    self._data_version = 0  # bumped on every sim-state publish
     self._ou_noise = np.zeros(task.model.nu)
 
     self._jit_opt = jax.jit(self.planner.optimize)
@@ -139,6 +142,7 @@ class Agent:
       d = d.replace(userdata=jnp.asarray(userdata, dtype=dt))
     with self._lock:
       self.data = d
+      self._data_version += 1
 
   def get_state(self):
     d = self.data
@@ -258,8 +262,10 @@ class Agent:
     d = self._jit_step(self.sim_task.model, d)
     with self._lock:
       self.data = d
-    # feed the attached estimator from the simulated sensors
-    if self._estimator is not None:
+      self._data_version += 1
+    # feed the attached estimator inline — unless its own thread runs
+    # (start_estimation; reference EstimatorLoop, app.cc:151-206)
+    if self._estimator is not None and self._est_thread is None:
       df = self._jit_forward(self.sim_task.model, d)
       self._est_state = self._jit_est_update(
           self._est_state, d.ctrl, df.sensordata)
@@ -274,9 +280,11 @@ class Agent:
     (a tunneled TPU adds ~10-20 ms per dispatch, and step() makes three),
     where per-call latency — not compute — dominates a drive loop
     (tools/drive.py). Falls back to the per-step path when an estimator
-    is attached (its update interleaves host-side) or control noise is
-    requested (OU state lives on the host, app.cc:292-304 semantics)."""
-    if self._estimator is not None or ctrl_noise_std > 0:
+    runs INLINE (its update interleaves host-side — start_estimation()
+    moves it to its own thread and keeps this path fused) or control
+    noise is requested (OU state lives on the host, app.cc:292-304)."""
+    if ((self._estimator is not None and self._est_thread is None)
+        or ctrl_noise_std > 0):
       d = self.data
       for _ in range(n):
         d = self.step(ctrl_noise_std, ctrl_noise_rate)
@@ -301,6 +309,7 @@ class Agent:
     d = fn(task, policy, self.data)
     with self._lock:
       self.data = d
+      self._data_version += 1
     return d
 
   # ----------------------------------------------------------- estimation
@@ -317,10 +326,55 @@ class Agent:
     self._est_state = self._estimator.init(self.data)
     self._jit_est_update = jax.jit(self._estimator.update)
 
+  def start_estimation(self, rate_limit_hz: Optional[float] = None):
+    """Move the estimator update onto its own thread (the reference's
+    optional estimator thread, app.cc:151-206 EstimatorLoop): each
+    iteration snapshots the LATEST published sim state (latest-wins, as
+    the reference's loop under the sim mutex), runs one measurement
+    update, and publishes the estimate. With the thread running,
+    steps(n) keeps its fused single-dispatch scan."""
+    if self._estimator is None:
+      raise RuntimeError("no estimator attached")
+    if self._est_thread is not None:
+      return
+    self._est_exit.clear()
+
+    def loop():
+      last_seen = -1
+      while not self._est_exit.is_set():
+        with self._lock:
+          version = self._data_version
+          d = self.data
+        if version == last_seen:
+          time_mod.sleep(1e-4)
+          continue
+        t0 = time_mod.perf_counter()
+        df = self._jit_forward(self.sim_task.model, d)
+        est = self._jit_est_update(self._est_state, d.ctrl, df.sensordata)
+        jax.block_until_ready(est)
+        with self._lock:
+          self._est_state = est
+        last_seen = version
+        if rate_limit_hz:
+          dt = 1.0 / rate_limit_hz - (time_mod.perf_counter() - t0)
+          if dt > 0:
+            time_mod.sleep(dt)
+
+    self._est_thread = threading.Thread(target=loop, daemon=True)
+    self._est_thread.start()
+
+  def stop_estimation(self):
+    self._est_exit.set()
+    if self._est_thread is not None:
+      self._est_thread.join()
+      self._est_thread = None
+
   def estimated_state(self):
     if self._estimator is None:
       raise RuntimeError("no estimator attached")
-    qpos, qvel, act = self._estimator.state(self._est_state)
+    with self._lock:
+      est = self._est_state
+    qpos, qvel, act = self._estimator.state(est)
     return {"qpos": np.asarray(qpos), "qvel": np.asarray(qvel),
             "act": np.asarray(act)}
 

@@ -85,8 +85,10 @@ def _plane_ellipsoid(pp, pm, ep, em, psize, esize):
 
 def _sphere_sphere(p1, m1, p2, m2, s1, s2):
   delta = p2 - p1
-  dn = jnp.linalg.norm(delta)
-  n = delta / jnp.maximum(dn, 1e-12)
+  # math.safe_norm, not linalg.norm: d‖v‖/dv = v/‖v‖ is 0/0 at
+  # coincident points and NaNs reverse-mode AD (gradient planners)
+  dn, n = math.safe_norm(delta)
+  dn = dn[0]
   dist = dn - (s1[0] + s2[0])
   pos = p1 + n * (s1[0] + 0.5 * dist)
   return [(dist, pos, n)]
@@ -100,8 +102,8 @@ def _closest_on_segment(p, a, axis, half):
 def _sphere_capsule(p1, m1, p2, m2, s1, s2):
   seg = _closest_on_segment(p1, p2, m2[:, 2], s2[1])
   delta = seg - p1
-  dn = jnp.linalg.norm(delta)
-  n = delta / jnp.maximum(dn, 1e-12)
+  dn, n = math.safe_norm(delta)  # NaN-free gradient at delta = 0
+  dn = dn[0]
   dist = dn - (s1[0] + s2[0])
   pos = p1 + n * (s1[0] + 0.5 * dist)
   return [(dist, pos, n)]
@@ -123,8 +125,8 @@ def _capsule_capsule(p1, m1, p2, m2, s1, s2):
   c1 = a1 + t1 * u1
   c2 = a2 + t2 * u2
   delta = c2 - c1
-  dn = jnp.linalg.norm(delta)
-  n = delta / jnp.maximum(dn, 1e-12)
+  dn, n = math.safe_norm(delta)  # NaN-free gradient at delta = 0
+  dn = dn[0]
   dist = dn - (s1[0] + s2[0])
   pos = c1 + n * (s1[0] + 0.5 * dist)
   return [(dist, pos, n)]
@@ -144,8 +146,11 @@ def _sphere_box_point(center, radius, bp, bm, bsize):
   surf = jnp.where(inside, surf_inside, clamped)
   world = bp + bm @ surf
   delta = center - world
-  dn = jnp.linalg.norm(delta)
-  n_out = -delta / jnp.maximum(dn, 1e-12)  # from sphere into box
+  # NaN-free gradient at delta = 0 (sphere center exactly on the box
+  # surface — both dist branches consume dn, so linalg.norm NaNs AD)
+  dn, unit = math.safe_norm(delta)
+  dn = dn[0]
+  n_out = -unit  # from sphere into box
   n_in = bm @ jnp.zeros(3, dtype=local.dtype).at[k].set(-jnp.sign(local[k]))
   n = jnp.where(inside, n_in, n_out)
   dist = jnp.where(inside, -dn - radius, dn - radius)
@@ -281,8 +286,7 @@ def _sat_contacts(v1, axes1, v2, axes2, c1, c2, k: int, inflate1=0.0):
   Returns list of (dist, pos, normal) with normal oriented hull1 → hull2.
   """
   dtype = v1.dtype
-  cdir = c2 - c1
-  cdir = cdir / jnp.maximum(jnp.linalg.norm(cdir), 1e-9)
+  _, cdir = math.safe_norm(c2 - c1)  # NaN-free grad at coincident hulls
   axes = jnp.concatenate(
       [axes1, axes2, cdir[None], _mesh_axes_fixed(dtype)])  # (K, 3)
   # orient every axis hull1 → hull2

@@ -341,6 +341,25 @@ def from_mjmodel(mj, dtype=jnp.float32) -> types.Model:
       raise NotImplementedError(
           f"equality {i}: type {et} unsupported (connect/weld/joint only)")
     eq_types.append(int(eq_supported[et]))
+  # per-row diagApprox from invweight0 (solver._equality_rows row order;
+  # see types.Model.eq_diagapprox)
+  eq_diagapprox = []
+  for i in range(mj.neq):
+    if not mj.eq_active0[i]:
+      continue
+    et, o1, o2 = int(mj.eq_type[i]), int(mj.eq_obj1id[i]), int(mj.eq_obj2id[i])
+    if et == int(mujoco.mjtEq.mjEQ_CONNECT):
+      tr = float(mj.body_invweight0[o1, 0] + mj.body_invweight0[o2, 0])
+      eq_diagapprox += [tr] * 3
+    elif et == int(mujoco.mjtEq.mjEQ_WELD):
+      tr = float(mj.body_invweight0[o1, 0] + mj.body_invweight0[o2, 0])
+      ro = float(mj.body_invweight0[o1, 1] + mj.body_invweight0[o2, 1])
+      eq_diagapprox += [tr] * 3 + [ro] * 3
+    else:  # joint coupling
+      da = float(mj.dof_invweight0[mj.jnt_dofadr[o1]])
+      if o2 >= 0:
+        da += float(mj.dof_invweight0[mj.jnt_dofadr[o2]])
+      eq_diagapprox.append(da)
 
   # sensors
   sensor_spec = []
@@ -516,6 +535,7 @@ def from_mjmodel(mj, dtype=jnp.float32) -> types.Model:
       # equality constraints
       neq=int(mj.neq),
       eq_type=tuple(eq_types),
+      eq_diagapprox=tuple(eq_diagapprox),
       eq_obj1id=ti(mj.eq_obj1id),
       eq_obj2id=ti(mj.eq_obj2id),
       eq_active0=tuple(bool(v) for v in mj.eq_active0),

@@ -198,5 +198,8 @@ def spatial_inertia(mass: jax.Array, inertia_com: jax.Array,
 
 
 def normalize(v: jax.Array, eps: float = 1e-12) -> jax.Array:
-  n = jnp.linalg.norm(v, axis=-1, keepdims=True)
-  return v / jnp.maximum(n, eps)
+  # sqrt(max(Σv², ε²)), NOT max(‖v‖, ε): ‖·‖'s gradient at v = 0 is 0/0
+  # and reverse-mode AD through a degenerate (zero) vector NaNs — e.g.
+  # the contact-frame tangents of a far-apart collision pair
+  s = jnp.sum(v * v, axis=-1, keepdims=True)
+  return v / jnp.sqrt(jnp.maximum(s, eps * eps))

@@ -64,7 +64,8 @@ def sub_const0(x, c):
   (folded per element — Pallas rejects captured array constants) or a
   traced model leaf (general jit path)."""
   import numpy as np
-  if isinstance(c, np.ndarray):
+  if isinstance(c, (np.ndarray, tuple, list)):
+    c = np.asarray(c)
     return jnp.stack([x[i] - float(c[i]) for i in range(x.shape[0])])
   return x - c.reshape(c.shape + (1,) * (x.ndim - 1))
 

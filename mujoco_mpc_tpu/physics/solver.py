@@ -143,8 +143,8 @@ def _limit_rows(m: Model, d: Data):
     quat = d.qpos[qadr:qadr + 4]
     rotvec = pmath.quat_sub(
         quat, jnp.asarray([1.0, 0, 0, 0], dtype=dtype))
-    ang = jnp.linalg.norm(rotvec)
-    axis = rotvec / jnp.maximum(ang, 1e-9)
+    ang_k, axis = pmath.safe_norm(rotvec)  # NaN-free grad at identity
+    ang = ang_k[0]
     row = jnp.zeros((m.nv,), dtype=dtype)
     row = jax.lax.dynamic_update_slice(row, -axis, (vadr,))
     jmats.append(row[None])
@@ -438,10 +438,24 @@ def solve(m: Model, d: Data, qacc_smooth: jax.Array,
   # across steps (observed: 0.003 → 0.10 rad drift on the closed-chain
   # oracle test). Force along such a row does no work on the system, so
   # deactivate it outright — MuJoCo's primal Newton solve never sees the
-  # degenerate dual direction at all.
-  active = active & (raw_diag > 1e-8 * jnp.max(raw_diag))
+  # degenerate dual direction at all. Bilateral (equality) rows are
+  # exempt: their regularizer below is floored by the compile-time
+  # diagApprox, so a degenerate row's dual stays bounded (and its force
+  # does no work since J_row ≈ 0) — matching MuJoCo, which keeps the row.
+  active = active & ((raw_diag > 1e-8 * jnp.max(raw_diag)) | bilat)
   diag = jnp.clip(raw_diag, 1e-10, None)
-  reg = (1.0 - imp) / imp * diag
+  # Softness R: (1−d)/d · diagApprox. For unilateral rows the live
+  # Delassus diagonal ≈ MuJoCo's approximation and tracks the true
+  # conditioning; for equality rows use the compile-time invweight0
+  # diagApprox (Model.eq_diagapprox) exactly as MuJoCo does — the live
+  # A_rr vanishes when the row's Jacobian degenerates, which would send
+  # the dual (aref−a0)/(A_rr+R) to infinity (observed: λ ≈ 1.3e4 vs
+  # MuJoCo's 0.1 on the closed-chain connect test).
+  reg_base = diag
+  if neq_rows and len(m.eq_diagapprox) == neq_rows:
+    reg_base = jnp.concatenate(
+        [diag[:nuni], jnp.asarray(m.eq_diagapprox, dtype=dtype)])
+  reg = (1.0 - imp) / imp * reg_base
   a0 = jmat @ qacc_smooth
 
   tor_idx = jnp.asarray(tor_pts, dtype=jnp.int32) if tor_pts else None
@@ -543,10 +557,15 @@ def solve(m: Model, d: Data, qacc_smooth: jax.Array,
   # The 1.25 factor covers the Rayleigh quotient's underestimate;
   # Nesterov restart absorbs the rest.
   from mujoco_mpc_tpu.physics.tilestep import amat_is_dense
+  # Step-size denominators are FLOORED AT 1: Ã has (near-)unit diagonal,
+  # so λmax(Ã) ≥ ~1 whenever any row is active — the floor only binds
+  # when every row is inactive, where the forward output is zero anyway
+  # but an unfloored 1/1e-8 = 1e8 step NaNs the BACKWARD pass (the
+  # gradient planners hit this on any state with no active constraints).
   if amat_is_dense(nrow):
     row_sum = s_pre * (jnp.abs(amat) @ s_pre) + s_pre * s_pre * reg
     step = 1.0 / jnp.maximum(
-        jnp.max(jnp.where(active, row_sum, 0.0)), 1e-8)
+        jnp.max(jnp.where(active, row_sum, 0.0)), 1.0)
   else:
     def opmul(v):
       """Ã v restricted to active rows (inactive g pinned at 0)."""
@@ -557,9 +576,11 @@ def solve(m: Model, d: Data, qacc_smooth: jax.Array,
     v = jnp.where(active, 1.0, 0.0).astype(dtype)
     for _ in range(_POWER_ITERS):
       w = opmul(v)
-      v = w / jnp.maximum(jnp.sqrt(jnp.sum(w * w)), 1e-30)
+      # sqrt(max(·)) not max(sqrt(·)): at w = 0 (no active rows) the
+      # gradient of sqrt is ∞ and 0·∞ NaNs reverse-mode AD
+      v = w / jnp.sqrt(jnp.maximum(jnp.sum(w * w), 1e-30))
     lam = jnp.sum(v * opmul(v))
-    step = 1.0 / jnp.maximum(1.25 * lam, 1e-8)
+    step = 1.0 / jnp.maximum(1.25 * lam, 1.0)
 
   def grad(g):
     f = s_pre * g

@@ -140,6 +140,9 @@ class EqRow:
   data: np.ndarray  # (11,) MuJoCo eq_data layout
   solref: np.ndarray  # (2,)
   solimp: np.ndarray  # (5,)
+  # per-row regularizer scale (MuJoCo mj_diagApprox from invweight0;
+  # mirrors solver.py — live A_rr vanishes on degenerate rows)
+  diagapprox: np.ndarray = None  # (nrows,)
 
   @property
   def nrows(self) -> int:
@@ -332,6 +335,7 @@ def extract(m: Model) -> TileModel:
   # equality constraints (bilateral rows, solver._equality_rows order)
   from mujoco_mpc_tpu.physics.types import EqType
   eq_rows = []
+  eq_da_off = 0
   for e in range(m.neq):
     if not m.eq_active0[e]:
       continue
@@ -341,11 +345,17 @@ def extract(m: Model) -> TileModel:
         if jid >= 0 and m.jnt_type[jid] not in (JointType.HINGE,
                                                 JointType.SLIDE):
           raise UnsupportedModel("joint equality on quaternion joint")
+    nr = {int(EqType.CONNECT): 3, int(EqType.WELD): 6,
+          int(EqType.JOINT): 1}[int(et)]
+    da = np.asarray(m.eq_diagapprox[eq_da_off:eq_da_off + nr], np.float32) \
+        if len(m.eq_diagapprox) else np.zeros((nr,), np.float32)
+    eq_da_off += nr
     eq_rows.append(EqRow(
         kind=int(et), ob1=int(m.eq_obj1id[e]), ob2=int(m.eq_obj2id[e]),
         data=npy(m.eq_data)[e].astype(np.float32),
         solref=npy(m.eq_solref)[e].astype(np.float32),
-        solimp=npy(m.eq_solimp)[e].astype(np.float32)))
+        solimp=npy(m.eq_solimp)[e].astype(np.float32),
+        diagapprox=da))
 
   # contacts: static pointwise expansion of the supported pairs
   con_points = []
@@ -1598,19 +1608,37 @@ def step_tb(tm: TileModel, qpos, qvel, ctrl, mocap_pos=None,
                               for si, k in enumerate(sup)))
       raw_diag = jnp.concatenate(diag_parts)
     diag = jnp.clip(raw_diag, 1e-10, None)
-    reg = (1.0 - imp_s) / imp_s * diag
     a0 = jmat_vec(jnp.stack(qacc_smooth))
-    # degenerate-row mask (mirrors solver.py): A_rr ≈ 0 rows — no DOF can
-    # accelerate along them — are deactivated per candidate so the dual
-    # never chases a near-singular direction
-    active_s = jnp.stack(rows_active) & (
-        raw_diag > 1e-8 * jnp.max(raw_diag, axis=0, keepdims=True))
 
     nf, n1 = len(fric_cis), len(one_cis)
     ntor, nroll = len(tor_cis), len(roll_cis)
     nang = ntor + 2 * nroll
     neq_r = tm.neq_rows
     nuni = nrow - neq_r
+
+    # Softness R = (1−d)/d · diagApprox (mirrors solver.py): unilateral
+    # rows use the live Delassus diagonal; equality rows use the
+    # compile-time invweight0 diagApprox so a degenerate row's dual stays
+    # bounded (MuJoCo mj_diagApprox semantics). Per-row PYTHON-float
+    # constants only — Pallas rejects captured array constants.
+    if neq_r:
+      eq_da = np.concatenate([er.diagapprox for er in tm.eq_rows])
+      reg_base = jnp.concatenate([
+          diag[:nuni],
+          jnp.stack([jnp.full_like(diag[0], float(eq_da[r]))
+                     for r in range(neq_r)])])
+    else:
+      reg_base = diag
+    reg = (1.0 - imp_s) / imp_s * reg_base
+    # degenerate-row mask (mirrors solver.py): A_rr ≈ 0 rows — no DOF can
+    # accelerate along them — are deactivated per candidate so the dual
+    # never chases a near-singular direction; equality rows are exempt
+    # (their R is floored by diagApprox, dual bounded)
+    nondeg = raw_diag > 1e-8 * jnp.max(raw_diag, axis=0, keepdims=True)
+    if neq_r:
+      nondeg = jnp.concatenate(
+          [nondeg[:nuni], jnp.ones_like(nondeg[nuni:])])
+    active_s = jnp.stack(rows_active) & nondeg
     off_ang = 3 * nf + n1
     lim0 = off_ang + nang  # first (joint/tendon) limit row
     tor_fpos = [fric_cis.index(ci) for ci in tor_cis]
@@ -1730,12 +1758,16 @@ def step_tb(tm: TileModel, qpos, qvel, ctrl, mocap_pos=None,
         minv = jnp.stack(solve_vk([jtv[k] for k in range(nv)]))
         return jmat_vec(minv)  # (nrow, *b)
 
+    # step denominators FLOORED AT 1 (mirrors solver.py): Ã has
+    # (near-)unit diagonal so λmax ≥ ~1 with any active row; unfloored,
+    # an all-inactive candidate takes a 1e8 step that NaNs reverse-mode
+    # AD through the loop
     if dense_amat:
       # Gershgorin on the preconditioned operator Ã = S(A+R)S
       row_sum = s_pre * jnp.sum(jnp.abs(amat) * s_pre[None], axis=1) \
           + s_pre * s_pre * reg
       step = 1.0 / jnp.maximum(
-          jnp.max(jnp.where(active_s, row_sum, 0.0), axis=0), 1e-8)
+          jnp.max(jnp.where(active_s, row_sum, 0.0), axis=0), 1.0)
     else:
       def opmul(v):  # Ã v on the active rows (solver.py opmul)
         v = jnp.where(active_s, v, 0.0)
@@ -1745,10 +1777,11 @@ def step_tb(tm: TileModel, qpos, qvel, ctrl, mocap_pos=None,
       v_p = jnp.where(active_s, jnp.ones_like(g0), 0.0)
       for _ in range(8):  # solver._POWER_ITERS
         w_p = opmul(v_p)
-        v_p = w_p / jnp.maximum(
-            jnp.sqrt(jnp.sum(w_p * w_p, axis=0)), 1e-30)
+        # sqrt(max(·)): d sqrt/dx = ∞ at 0 NaNs the backward pass
+        v_p = w_p / jnp.sqrt(jnp.maximum(
+            jnp.sum(w_p * w_p, axis=0), 1e-30))
       lam = jnp.sum(v_p * opmul(v_p), axis=0)
-      step = 1.0 / jnp.maximum(1.25 * lam, 1e-8)  # (*b,)
+      step = 1.0 / jnp.maximum(1.25 * lam, 1.0)  # (*b,)
 
     def grad(g):
       f = s_pre * g

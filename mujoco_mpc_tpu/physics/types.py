@@ -287,6 +287,14 @@ class Model:
   eq_data: Optional[jax.Array] = None  # (neq, 11) MuJoCo layout
   eq_solref: Optional[jax.Array] = None  # (neq, 2)
   eq_solimp: Optional[jax.Array] = None  # (neq, 5)
+  # per-equality-ROW regularizer scale in solver._equality_rows order:
+  # MuJoCo's mj_diagApprox from compile-time invweight0, NOT the live
+  # Delassus diagonal — the live A_rr vanishes when a row's Jacobian
+  # degenerates (e.g. the in-plane connect row of a planar chain at rest),
+  # which would zero the softness R=(1-d)/d·A_rr and let the dual blow up
+  # (engine_core_constraint.c mj_diagApprox, mjEQ_* cases)
+  eq_diagapprox: Tuple[float, ...] = struct.field(
+      pytree_node=False, default=())
 
   # --------------------------- name lookups --------------------------------
   def _name_id(self, names: Tuple[str, ...], name: str, kind: str) -> int:

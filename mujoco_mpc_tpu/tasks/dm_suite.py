@@ -70,8 +70,10 @@ def compile_model(spec):
 # ---------------------------------------------------------------- humanoid
 
 
-def build_humanoid(mode: str = "walk"):
-  """Full-DOF dm_control humanoid with the reference patch semantics.
+def _humanoid_spec():
+  """Shared full-DOF dm_control humanoid PLANT with the reference patch
+  semantics — all five humanoid tasks (Stand/Walk/Track/Interact + the
+  bench north star) build on this one spec (VERDICT r4 #7).
 
   Patch semantics applied (humanoid.xml.patch):
     - spawn height 1.5 -> 1.282 (feet on the floor at qpos0)
@@ -80,8 +82,6 @@ def build_humanoid(mode: str = "walk"):
     - two limited hamstring tendons (hip_y/knee coupling, range -0.3..2)
     - contact excludes lower_waist<->thighs
     - dm_control's touch/force/imu sensor suite removed
-  Cost spec mirrors tasks/humanoid/walk/task.xml (norm types, dims,
-  weights at nu=21 / posture dim 21).
   """
   import mujoco
 
@@ -126,7 +126,14 @@ def build_humanoid(mode: str = "walk"):
     t.wrap_joint(f"{side}_hip_y", 0.5)
     t.wrap_joint(f"{side}_knee", -0.5)
     spec.add_exclude(bodyname1="lower_waist", bodyname2=f"{side}_thigh")
+  return spec
 
+
+def build_humanoid(mode: str = "walk"):
+  """Stand/Walk task model: the shared humanoid plant + the cost spec of
+  tasks/humanoid/walk/task.xml (norm types, dims, weights at nu=21 /
+  posture dim 21)."""
+  spec = _humanoid_spec()
   add_numerics(spec, {
       "agent_planner": 0,
       "agent_horizon": 0.5,
@@ -147,6 +154,84 @@ def build_humanoid(mode: str = "walk"):
       ("Walk", 1, [7, 1.0, 0, 25.0, 0.5, 3.0]),
       ("Velocity", 2, [7, 0.625, 0, 25.0, 0.2, 4.0]),
       ("Control", 21, [3, 0.025, 0, 1.0, 0.3]),
+  ])
+  spec.add_key(name="home",
+               qpos=[0, 0, 1.282, 1, 0, 0, 0] + [0.0] * 21)
+  return compile_model(spec)
+
+
+def build_humanoid_track():
+  """Track task model: the shared humanoid plant + the mocap-tracking
+  cost spec (reference humanoid/tracking/task.xml:82-91 — joint-vel /
+  control / average-position / per-marker position / marker-velocity
+  terms, at the full model's nv−6 = 21 and nu = 21)."""
+  spec = _humanoid_spec()
+  add_numerics(spec, {
+      "agent_planner": 0,
+      "agent_horizon": 0.5,
+      "agent_timestep": 0.01,
+      "sampling_spline_points": 4,
+      "sampling_trajectories": 128,
+      "sampling_exploration": 0.25,
+      "residual_Clip": 0,
+  })
+  add_cost_sensors(spec, [
+      ("JointVel", 21, [0, 0.01, 0, 0.1]),
+      ("Control", 21, [3, 0.02, 0, 1.0, 0.3]),
+      ("AvgPos", 3, [2, 4.0, 0, 20.0, 0.01]),
+      ("MarkerPos", 18, [2, 4.0, 0, 20.0, 0.01]),
+      ("MarkerVel", 18, [0, 0.05, 0, 1.0]),
+  ])
+  spec.add_key(name="home",
+               qpos=[0, 0, 1.282, 1, 0, 0, 0] + [0.0] * 21)
+  return compile_model(spec)
+
+
+def build_humanoid_interact():
+  """Interact task model: the shared humanoid plant + a chair scene and
+  the sit/stand cost spec (reference humanoid/interact/interact.cc:
+  30-196; its scenes come from the same dm_control humanoid patched into
+  a furnished room)."""
+  spec = _humanoid_spec()
+  spec.body("head").add_site(name="head_site", pos=[0.0, 0.0, 0.0])
+  chair = spec.worldbody.add_body(name="chair", pos=[0.6, 0.0, 0.0])
+  # seat + backrest + legs: contype/conaffinity 1 — collides with the
+  # butt/torso/head floor group and the feet/shin leg group
+  import mujoco as _mj
+  g = chair.add_geom(name="seat", type=_mj.mjtGeom.mjGEOM_BOX,
+                     pos=[0.0, 0.0, 0.4], size=[0.22, 0.24, 0.03])
+  g.contype, g.conaffinity = 1, 1
+  g = chair.add_geom(name="backrest", type=_mj.mjtGeom.mjGEOM_BOX,
+                     pos=[0.2, 0.0, 0.7], size=[0.03, 0.24, 0.3])
+  g.contype, g.conaffinity = 1, 1
+  for i, (sx, sy) in enumerate(((1, 1), (1, -1), (-1, 1), (-1, -1))):
+    g = chair.add_geom(name=f"leg{i}", type=_mj.mjtGeom.mjGEOM_BOX,
+                       pos=[0.17 * sx, 0.19 * sy, 0.185],
+                       size=[0.03, 0.03, 0.185])
+    g.contype, g.conaffinity = 0, 0
+  chair.add_site(name="seat_site", pos=[0.0, 0.0, 0.43])
+  add_numerics(spec, {
+      "agent_planner": 0,
+      "agent_horizon": 0.5,
+      "agent_timestep": 0.01,
+      "sampling_spline_points": 4,
+      "sampling_trajectories": 128,
+      "sampling_exploration": 0.25,
+      "residual_SitHeadHeight": 0.95,
+      "residual_StandHeadHeight": 1.48,
+  })
+  add_cost_sensors(spec, [
+      ("Torso Up", 1, [6, 10.0, 0, 100.0, 0.1]),
+      ("Pelvis Up", 1, [6, 10.0, 0, 100.0, 0.1]),
+      ("RFoot Up", 1, [6, 2.0, 0, 100.0, 0.1]),
+      ("LFoot Up", 1, [6, 2.0, 0, 100.0, 0.1]),
+      ("Head Height", 1, [6, 20.0, 0, 100.0, 0.1]),
+      ("Knee Feet XY", 1, [6, 5.0, 0, 100.0, 0.1]),
+      ("COM Feet XY", 1, [6, 5.0, 0, 100.0, 0.1]),
+      ("Facing Dir", 1, [6, 2.0, 0, 100.0, 0.1]),
+      ("CoM Vel", 2, [0, 5.0, 0, 100.0]),
+      ("Pelvis Seat", 3, [2, 10.0, 0, 50.0, 0.02]),
+      ("Control", 21, [3, 0.05, 0, 1.0, 0.3]),
   ])
   spec.add_key(name="home",
                qpos=[0, 0, 1.282, 1, 0, 0, 0] + [0.0] * 21)
@@ -222,7 +307,12 @@ def build_cartpole():
       ("Velocity", 1, [0, 0.1, 0, 1.0]),
       ("Control", 1, [0, 0.1, 0, 1.0]),
   ])
-  spec.add_key(name="home", qpos=[0.0, 3.14159265])
+  # reference task.xml:48 home: cart offset at x=1, pole UP — the
+  # gradient planner (agent_planner 1) balances while recentering; the
+  # exact hanging pose is a saddle where its gradient vanishes. A "down"
+  # keyframe is kept for swing-up experiments.
+  spec.add_key(name="home", qpos=[1.0, 0.0])
+  spec.add_key(name="down", qpos=[0.0, 3.14159265])
   return compile_model(spec)
 
 

@@ -96,8 +96,9 @@ def weight_mod(model, data, params):
 
 @registry.register("Humanoid Interact")
 def make(dtype=jnp.float32) -> base.Task:
-  model, spec, params, pnames = registry.load_task_model(
-      "humanoid_interact.xml", dtype)
+  from mujoco_mpc_tpu.tasks import dm_suite
+  model, spec, params, pnames = registry.load_task_model_from_builder(
+      dm_suite.build_humanoid_interact, dtype)
   return base.Task(name="Humanoid Interact", model=model, spec=spec,
                    params=params, residual=residual, weight_mod=weight_mod,
                    mode_names=MODE_NAMES, param_names=pnames)

@@ -37,28 +37,33 @@ _NM = len(_MARKERS)
 
 
 def _synth_clip(speed, cadence, step_len, length):
-  """Procedural gait marker clip (length, nmarker, 3) at 30 fps."""
+  """Procedural gait marker clip (length, nmarker, 3) at 30 fps.
+
+  Marker geometry targets the full dm_control humanoid
+  (dm_suite._humanoid_spec at the home keyframe: pelvis z 0.86, torso z
+  1.28, feet at y ±0.09 / z 0.024, lower arms at y ±0.35 / z 1.16)."""
   t = np.arange(length) / _FPS
   phase = 2 * np.pi * cadence * t
   x0 = speed * t
   clip = np.zeros((length, _NM, 3))
   # pelvis / torso: forward translation with slight bob
-  clip[:, 0] = np.stack([x0, 0 * t, 0.89 + 0.02 * np.cos(2 * phase)], -1)
+  clip[:, 0] = np.stack([x0, 0 * t, 0.86 + 0.02 * np.cos(2 * phase)], -1)
   clip[:, 1] = np.stack([x0, 0 * t, 1.28 + 0.02 * np.cos(2 * phase)], -1)
   # feet: alternating swing; ground contact half the cycle
+  # (marker order: right then left; right side is −y on the dm humanoid)
   amp = 0.5 * step_len
   lift = 0.05 + 0.05 * (speed > 1.5)
   for i, (sgn, ph) in enumerate(((-1, 0.0), (1, np.pi))):
     s = np.sin(phase + ph)
     swing = np.maximum(np.sin(phase + ph), 0.0)
     clip[:, 2 + i] = np.stack([
-        x0 + amp * s, sgn * -0.1 * np.ones_like(t), 0.06 + lift * swing], -1)
-  # hands: counter-swing at hip height
+        x0 + amp * s, sgn * 0.09 * np.ones_like(t), 0.03 + lift * swing], -1)
+  # lower arms: counter-swing just above hip height
   for i, (sgn, ph) in enumerate(((-1, np.pi), (1, 0.0))):
     s = np.sin(phase + ph)
     clip[:, 4 + i] = np.stack([
-        x0 + 0.3 * amp * s, sgn * -0.25 * np.ones_like(t),
-        0.85 + 0.02 * s], -1)
+        x0 + 0.18 + 0.3 * amp * s, sgn * 0.35 * np.ones_like(t),
+        1.16 + 0.02 * s], -1)
   return clip
 
 
@@ -182,8 +187,9 @@ def transition(model, data, params):
 
 @registry.register("Humanoid Track")
 def make(dtype=jnp.float32) -> base.Task:
-  model, spec, params, pnames = registry.load_task_model(
-      "humanoid_track.xml", dtype)
+  from mujoco_mpc_tpu.tasks import dm_suite
+  model, spec, params, pnames = registry.load_task_model_from_builder(
+      dm_suite.build_humanoid_track, dtype)
   return base.Task(name="Humanoid Track", model=model, spec=spec,
                    params=params, residual=residual, transition=transition,
                    mode_names=MODE_NAMES, param_names=pnames)

@@ -93,14 +93,18 @@ def test_rolling_friction_decelerates_ball():
   assert float(d6.qvel[0]) < 0.75 * float(d3.qvel[0])
 
 
-def test_condim_pairs_fall_back_from_megakernel():
-  """condim > 3 pairs take the general XLA path (tile kernel keeps the
-  3-rows-per-contact layout)."""
-  import pytest
-
+def test_condim6_pairs_join_megakernel_class():
+  """condim > 3 pairs are IN the tile class since round 4 (torsional +
+  rolling rows; tests/test_tilestep_classes.py pins path equivalence)."""
   _, m = _load(_SPHERE_XML.format(condim=6, tor=0.01, roll=0.01))
-  with pytest.raises(tilestep.UnsupportedModel):
-    tilestep.extract(m)
+  tm = tilestep.extract(m)
+  tor_pts = [ci for ci, cp in enumerate(tm.con_points) if cp.condim >= 4]
+  roll_pts = [ci for ci, cp in enumerate(tm.con_points) if cp.condim == 6]
+  assert tor_pts and roll_pts
+  # nrow carries the extra angular rows: 3 per point + 1 torsional per
+  # condim≥4 point + 2 rolling per condim-6 point
+  from mujoco_mpc_tpu.physics import solver
+  assert tm.nrow == solver.nrow_static(m)
 
 
 def test_condim3_layout_unchanged():

@@ -200,3 +200,38 @@ def test_plan_from_estimate():
   agent.step()
   info = agent.planner_step(from_estimate=True)
   assert np.isfinite(float(info.best_return))
+
+
+def test_async_estimator_keeps_steps_fused():
+  """start_estimation() moves the estimator update onto its own thread
+  (reference EstimatorLoop, app.cc:151-206): steps(n) keeps the fused
+  single-dispatch scan AND the estimate still tracks the sim."""
+  from mujoco_mpc_tpu.agent.agent import Agent
+
+  agent = Agent("Cartpole")
+  agent.set_state(qpos=[0.2, 0.3])
+  agent.attach_estimator("kalman")
+
+  # inline estimator forces the per-step fallback: no fused cache entry
+  agent.steps(3)
+  assert 3 not in agent._jit_steps_cache
+
+  agent.start_estimation()
+  try:
+    agent.steps(5)
+    assert 5 in agent._jit_steps_cache  # fused path retained
+    import time
+    deadline = time.time() + 10.0
+    est = agent.estimated_state()
+    # the estimator thread catches up to the published state
+    while time.time() < deadline:
+      est = agent.estimated_state()
+      err = np.abs(est["qpos"] - np.asarray(agent.data.qpos)).max()
+      if np.isfinite(err) and err < 0.2:
+        break
+      time.sleep(0.05)
+    assert np.all(np.isfinite(est["qpos"]))
+    err = np.abs(est["qpos"] - np.asarray(agent.data.qpos)).max()
+    assert err < 0.2, f"estimate diverged from sim: {err}"
+  finally:
+    agent.stop_estimation()

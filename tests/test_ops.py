@@ -93,8 +93,9 @@ class TestSpline:
 def test_cost_spec_parsing():
   task = registry.get_task("Cartpole")
   assert task.spec.names == ("Vertical", "Centered", "Velocity", "Control")
-  # 7 = SMOOTH_ABS2 under the reference XML id convention (norm.h:24-36)
-  assert task.spec.norm_types == (7, 7, 0, 0)
+  # 6 = SMOOTH_ABS under the reference XML id convention (norm.h:24-36),
+  # matching the reference cartpole task.xml:31-34 user-sensor spec.
+  assert task.spec.norm_types == (6, 6, 0, 0)
   assert task.spec.nresidual == 4
   np.testing.assert_allclose(task.params.weights, [10.0, 10.0, 0.1, 0.1])
   # residual params from custom numerics
