@@ -242,10 +242,14 @@ def main():
   # dexterous tasks (BASELINE configs 4-5; the reference's own testspeed
   # default is the cube, testspeed_app.cc:23) — each entry says whether
   # the whole-rollout megakernel carried it
+  # rubik runs the general XLA path (344 constraint rows exceed the
+  # megakernel's VMEM class); 1024 candidates per chip — the BASELINE
+  # "4k-rollout batch on TPU mesh" is 4-8 such shards (a 4096-candidate
+  # single-chip XLA graph crashes the compiler)
   for key, (name, n, h, it) in {
       "shadow_reorient_512x100": ("Shadow", 512, 100, 10),
       "bimanual_handover_256x80": ("Bimanual Handover", 256, 80, 10),
-      "rubik_4096x64": ("Rubik", 4096, 64, 10),
+      "rubik_1024x64": ("Rubik", 1024, 64, 10),
   }.items():
     try:
       r = _planner_rate(name, n, h, iters=it)

@@ -124,13 +124,22 @@ def norm_grad_hess(x: jax.Array, norm: NormType, p: float = 0.0,
     h = jnp.diag(c * (q - 1) * (1 - dd / e))
     return jnp.sum(s - p, axis=-1), g, h
   if norm == NormType.RECTIFY:
-    if p > 0:
-      s = jnp.exp(x / p)
-      v = jnp.sum(p * jnp.log1p(s), axis=-1)
-      g = s / (1 + s)
-      h = jnp.diag(s / (p * (1 + s) ** 2))
-      return v, g, h
-    v = jnp.sum(jnp.maximum(x, 0.0), axis=-1)
-    g = (x > 0).astype(x.dtype)
-    return v, g, jnp.zeros((n, n), dtype=x.dtype)
+    # branch-free on p (runtime-tunable → traced under jit; an `if p>0`
+    # raised TracerBoolConversionError in the iLQG cost expansion), with
+    # the overflow-stable softplus/sigmoid forms
+    p_arr = jnp.asarray(p)
+    safe_p = jnp.maximum(p_arr, 1e-10)
+    z = x / safe_p
+    v_soft = jnp.sum(
+        safe_p * (jnp.maximum(z, 0.0) + jnp.log1p(jnp.exp(-jnp.abs(z)))),
+        axis=-1)
+    sig = jax.nn.sigmoid(z)
+    g_soft = sig
+    h_soft = jnp.diag(sig * (1.0 - sig) / safe_p)
+    v_hard = jnp.sum(jnp.maximum(x, 0.0), axis=-1)
+    g_hard = (x > 0).astype(x.dtype)
+    use_soft = p_arr > 0
+    return (jnp.where(use_soft, v_soft, v_hard),
+            jnp.where(use_soft, g_soft, g_hard),
+            jnp.where(use_soft, h_soft, jnp.zeros((n, n), dtype=x.dtype)))
   raise ValueError(f"unknown norm {norm}")

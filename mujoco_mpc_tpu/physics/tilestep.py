@@ -32,6 +32,7 @@ from mujoco_mpc_tpu.physics.types import (ActDyn, GainBias, GeomType,
                                           JointType, Model, TrnType)
 
 _ITERATIONS = 12  # must match physics/solver.py (warm-started APGD)
+_POWER_ITERS = 8  # must match physics/solver.py (λmax power iteration)
 _MINIMP, _MAXIMP = 1e-4, 0.9999
 _DEFAULT_SOLIMP = (0.9, 0.95, 0.001, 0.5, 2.0)
 
@@ -1775,7 +1776,7 @@ def step_tb(tm: TileModel, qpos, qvel, ctrl, mocap_pos=None,
         return jnp.where(active_s, s_pre * (amul(sv) + reg * sv), 0.0)
 
       v_p = jnp.where(active_s, jnp.ones_like(g0), 0.0)
-      for _ in range(8):  # solver._POWER_ITERS
+      for _ in range(_POWER_ITERS):  # mirrors solver._POWER_ITERS
         w_p = opmul(v_p)
         # sqrt(max(·)): d sqrt/dx = ∞ at 0 NaNs the backward pass
         v_p = w_p / jnp.sqrt(jnp.maximum(
