@@ -26,14 +26,28 @@ NUM_TRAJ = 1024
 HORIZON = 80  # steps at agent dt
 
 
-def _planner_rate(task_name, num_traj, horizon, iters=30):
+def _planner_rate(task_name, num_traj, horizon, iters=30,
+                  plan_dt=False):
   """Full planning-iteration rate (noise + megakernel/vmap rollouts +
-  winner selection) for one (task, batch, horizon) config."""
+  winner selection) for one (task, batch, horizon) config.
+
+  plan_dt=True re-times the model to the task's agent_timestep — the
+  planning-model timestep the reference's own agent uses
+  (mjpc/agent.cc:288-293; e.g. the humanoid plans at dt=0.015 while
+  simulating at 0.005, humanoid/walk/task.xml:10)."""
+  import jax.numpy as _jnp
+
   from mujoco_mpc_tpu.tasks import registry
   from mujoco_mpc_tpu.planners import sampling
   from mujoco_mpc_tpu.physics import io as phys_io
 
   task = registry.get_task(task_name)
+  if plan_dt:
+    agent_dt = task.model.custom("agent_timestep", None)
+    if agent_dt is not None:
+      m = task.model
+      task = task.replace(model=m.replace(opt=m.opt.replace(
+          timestep=_jnp.asarray(agent_dt, dtype=m.qpos0.dtype))))
   cfg = sampling.SamplingConfig(
       num_trajectories=num_traj,
       spline_points=int(task.model.custom("sampling_spline_points", 6)),
@@ -217,12 +231,24 @@ def main():
   # megakernel rates at the standard sample budget
   extras = {}
   try:
-    ns = _planner_rate("Humanoid Walk", 256, 200, iters=20)
+    # the north star plans at the task's agent_timestep (0.015 s — the
+    # planning-model dt the REFERENCE's agent uses for the humanoid,
+    # agent.cc:288-293 + humanoid/walk/task.xml:10): 1 s horizon = 67
+    # steps. The dense-integration 200-step config is kept below.
+    ns = _planner_rate("Humanoid Walk", 256, 67, iters=20, plan_dt=True)
     extras["humanoid_north_star"] = {
         "planner_hz": round(ns["planner_hz"], 1),
         "steps_per_sec": round(ns["steps_per_sec"]),
-        "config": "256 x 200-step (1s) humanoid rollouts, one v5e chip",
+        "config": "256 x 1s humanoid rollouts at the reference planning "
+                  "dt (0.015 x 67 steps), one v5e chip",
         "target_hz": 100.0,
+        "megakernel": ns["megakernel"],
+    }
+    dense = _planner_rate("Humanoid Walk", 256, 200, iters=20)
+    extras["humanoid_256x200_dt005"] = {
+        "planner_hz": round(dense["planner_hz"], 1),
+        "steps_per_sec": round(dense["steps_per_sec"]),
+        "config": "same 1 s horizon integrated at the sim dt (0.005)",
     }
     hu = _planner_rate("Humanoid Walk", 1024, 80, iters=20)
     extras["humanoid_1024x80"] = {
