@@ -46,6 +46,7 @@ def load_task_model(xml_name: str, dtype=jnp.float32, mutate=None):
     mutate(mj_model)
   model = phys_io.from_mjmodel(mj_model, dtype=dtype)
   spec, params, names = base.parse_cost_spec_mj(mj_model, model, dtype=dtype)
+  _captured_mj.append(mj_model)
   return model, spec, params, names
 
 
@@ -57,7 +58,28 @@ def load_task_model_from_builder(builder, dtype=jnp.float32):
   mj_model = builder()
   model = phys_io.from_mjmodel(mj_model, dtype=dtype)
   spec, params, names = base.parse_cost_spec_mj(mj_model, model, dtype=dtype)
+  _captured_mj.append(mj_model)
   return model, spec, params, names
+
+
+# host-side mujoco.MjModel capture for viewers/renderers: task factories
+# are pure pytree producers (the Task carries no host objects), so the UI
+# recovers the exact parsed mujoco model by re-running the factory under
+# capture (replaces examples/replay.py's fragile nq/nu XML matching)
+_captured_mj = []
+
+
+def get_mj_model(name: str):
+  """The host-side mujoco.MjModel task `name` was built from (rendering /
+  viewer use only — the physics engine never touches it). Includes any
+  mutate() edits (hfield fill) and dm_suite builder patches."""
+  if name not in _FACTORIES:
+    raise KeyError(f"unknown task {name!r}; available: {task_names()}")
+  _captured_mj.clear()
+  _FACTORIES[name](dtype=jnp.float32)
+  if not _captured_mj:
+    raise RuntimeError(f"task {name!r} built no mujoco model")
+  return _captured_mj[-1]
 
 
 # import task modules for registration side effects

@@ -55,6 +55,8 @@ _SLOW_TESTS = {
     "test_agent_async_plan_loop_reduces_cost",
     # driven FSM behavior locks (planner in the loop on CPU)
     "test_rubik_faces_track_targets_under_planning",
+    # dashboard live loops (jit-compiles a planner)
+    "test_live_loop_accrues_history",
 }
 
 
