@@ -426,10 +426,29 @@ def solve(m: Model, d: Data, qacc_smooth: jax.Array,
       bilat, pos, jnp.where(norm_row, jnp.minimum(pos, 0.0), 0.0))
   aref = -imp * (k * pos_term + b * vel)
 
-  # Delassus operator A = J M⁻¹ Jᵀ and smooth residual a0 = J qacc_smooth
+  # Delassus operator A = J M⁻¹ Jᵀ and smooth residual a0 = J qacc_smooth.
+  # Two regimes sharing one iterate sequence (mirrors physics/tilestep.py
+  # so the general and tile paths stay equivalence-testable):
+  #  - dense: materialize A — best for small row counts;
+  #  - matrix-free: A·x = J·(M⁻¹Jᵀ·x). Materializing A for a big-nrow
+  #    model is HBM-bound, not FLOP-bound: the Rubik-in-hand plant has
+  #    nrow=344, so A is 473 KB/candidate and each APGD matvec re-reads
+  #    it — ~10 GB/step at 1024 candidates. The two skinny factors
+  #    (nrow×nv each) are ~10× less traffic at equal math.
+  from mujoco_mpc_tpu.physics.tilestep import amat_is_dense
   minv_jt = linalg.chol_solve(chol_factor, jmat.T)  # (nv, nrow)
-  amat = jmat @ minv_jt
-  raw_diag = jnp.diag(amat)
+  dense_amat = amat_is_dense(nrow)
+  if dense_amat:
+    amat = jmat @ minv_jt
+    raw_diag = jnp.diag(amat)
+
+    def amat_mul(x):
+      return amat @ x
+  else:
+    raw_diag = jnp.einsum("rk,kr->r", jmat, minv_jt)
+
+    def amat_mul(x):
+      return jmat @ (minv_jt @ x)
   # Degenerate rows: A_rr ≈ 0 means no DOF can produce acceleration along
   # this row (e.g. the out-of-plane translation of a connect equality on a
   # planar hinge chain — J_row ≈ 0). The dual QP is near-singular there:
@@ -556,13 +575,12 @@ def solve(m: Model, d: Data, qacc_smooth: jax.Array,
   # A (cheap there), power iteration when the tile path is matrix-free.
   # The 1.25 factor covers the Rayleigh quotient's underestimate;
   # Nesterov restart absorbs the rest.
-  from mujoco_mpc_tpu.physics.tilestep import amat_is_dense
   # Step-size denominators are FLOORED AT 1: Ã has (near-)unit diagonal,
   # so λmax(Ã) ≥ ~1 whenever any row is active — the floor only binds
   # when every row is inactive, where the forward output is zero anyway
   # but an unfloored 1/1e-8 = 1e8 step NaNs the BACKWARD pass (the
   # gradient planners hit this on any state with no active constraints).
-  if amat_is_dense(nrow):
+  if dense_amat:
     row_sum = s_pre * (jnp.abs(amat) @ s_pre) + s_pre * s_pre * reg
     step = 1.0 / jnp.maximum(
         jnp.max(jnp.where(active, row_sum, 0.0)), 1.0)
@@ -571,7 +589,7 @@ def solve(m: Model, d: Data, qacc_smooth: jax.Array,
       """Ã v restricted to active rows (inactive g pinned at 0)."""
       v = jnp.where(active, v, 0.0)
       sv = s_pre * v
-      return jnp.where(active, s_pre * (amat @ sv + reg * sv), 0.0)
+      return jnp.where(active, s_pre * (amat_mul(sv) + reg * sv), 0.0)
 
     v = jnp.where(active, 1.0, 0.0).astype(dtype)
     for _ in range(_POWER_ITERS):
@@ -584,7 +602,7 @@ def solve(m: Model, d: Data, qacc_smooth: jax.Array,
 
   def grad(g):
     f = s_pre * g
-    return s_pre * (amat @ f + reg * f + b_vec)
+    return s_pre * (amat_mul(f) + reg * f + b_vec)
 
   # Warm start: last step's converged duals (cold → diagonal-
   # preconditioned init; branch-free select keeps one trace). Bilateral

@@ -28,6 +28,10 @@ def main():
   p.add_argument("--name", default="strider")
   p.add_argument("--out", required=True)
   p.add_argument("--candidates", type=int, default=0)
+  p.add_argument("--param", action="append", default=[],
+                 help="task parameter override, name=value (repeatable); "
+                      "e.g. --param Speed=2.5 records a faster gait")
+  p.add_argument("--keyframe", default="home")
   p.add_argument("--platform", default="")
   args = p.parse_args()
 
@@ -51,7 +55,10 @@ def main():
     agent.previous_policy = agent.policy
     agent._jit_opt = jax.jit(agent.planner.optimize)
     agent._jit_act = jax.jit(agent.planner.action)
-  agent.reset(keyframe="home")
+  agent.reset(keyframe=args.keyframe)
+  for kv in args.param:
+    name, val = kv.split("=", 1)
+    agent.set_task_parameter(name, float(val))
   m = agent.sim_task.model
   marker_ids = [m.body(n) for n in humanoid_track._MARKERS]
   fwd = jax.jit(phys_forward)
