@@ -19,6 +19,12 @@ import jax  # noqa: E402
 # present; the config call reliably forces CPU.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+# The persistent compilation cache (enabled by the package for TPU runs) is
+# disabled under tests: serializing big XLA:CPU AOT executables into it has
+# segfaulted in native code (put_executable_and_time → AOT serialize/zstd)
+# on single-core hosts under memory pressure, killing the whole session.
+# Tests run in one process, so the in-memory jit cache still dedups compiles.
+jax.config.update("jax_enable_compilation_cache", False)
 
 
 # ---------------------------------------------------------------- tiering
